@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** 60-bit string hash computed identically by Spark and DuckDB, so that
+  * hash-driven operators (dedup, MinHash, SimHash, LSH) stay verifiable
+  * against the DuckDB oracle.
+  *
+  * Spark side:  `conv(substr(md5(x), 1, 15), 16, 10)::bigint`
+  * DuckDB side: `('0x' || substr(md5(x), 1, 15))::BIGINT`
+  *
+  * md5 is identical everywhere; 15 hex chars = 60 bits keeps the value
+  * positive in an int64 in both engines. This is NOT a hot-path hash for
+  * the 100 TB deployment — operators accept a pluggable hash and default
+  * to [[org.apache.spark.sql.functions.xxhash64]] when oracle parity is
+  * not required (see `fast` below).
+  */
+object PortableHash {
+  /** Salted portable 60-bit hash of a string column. */
+  def md5Long(c: Column, salt: String = ""): Column = {
+    val in = if (salt.isEmpty) c else concat(lit(salt), c)
+    conv(substring(md5(in.cast("string")), 1, 15), 16, 10).cast(LongType)
+  }
+
+  /** Matching DuckDB SQL fragment; `expr` must be a SQL string expression. */
+  def md5LongSql(expr: String, salt: String = ""): String = {
+    val in = if (salt.isEmpty) expr else s"concat('$salt', $expr)"
+    s"CAST(('0x' || substr(md5($in), 1, 15)) AS BIGINT)"
+  }
+
+  /** Scale-path hash (single codegen'd xxhash64, no md5 string cost). */
+  def fast(c: Column, salt: String = ""): Column =
+    if (salt.isEmpty) xxhash64(c) else xxhash64(lit(salt), c)
+}

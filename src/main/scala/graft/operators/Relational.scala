@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks mirroring the reference's query surface
+  * (latest-response-per-listing, stale-grid selection, upsert-with-move-
+  * detection, task accounting — see SURVEY.md §2A).
+  *
+  * All operators are `DataFrame => DataFrame` compositions of built-in
+  * functions: Catalyst sees the full plan, so filter pushdown, partial
+  * aggregation and AQE apply unchanged at 100 TB.
+  */
+object Relational {
+
+  /** Top-k rows per group. Window-based: one shuffle on `partitionCols`.
+    * Reference: newest N `AirBnBResponse` rows per listing
+    * (/root/reference/src/ubdc_airbnb/ubdc_airbnb/models.py:430 ordering).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column], k: Int,
+                   rankName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** Latest row per key (argmax by `orderCols`). Same shuffle shape as
+    * topKPerGroup(k=1); kept separate because at scale it is often cheaper
+    * as `max_by` partial aggregation — both forms produce identical rows.
+    * Reference: `AirBnBListing.*_updated_at` freshest-state view. */
+  def latestSnapshot(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column]): DataFrame =
+    topKPerGroup(df, keyCols, orderCols.map(_.desc), 1).drop("rn")
+
+  /** SCD2-style validity intervals: each row valid from its own timestamp
+    * until the next row of the same key. Reference: listing movement
+    * history notes (workunits.py:158). */
+  def scd2Intervals(df: DataFrame, keyCols: Seq[Column], tsCol: Column, tieCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(tsCol +: tieCols: _*)
+    df.withColumn("valid_from_ms", tsCol)
+      .withColumn("valid_to_ms", lead(tsCol, 1).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event of the same key exceeds `gapMs`. Two windows over one
+    * shuffle (same partitioning — Catalyst reuses the exchange). */
+  def sessionize(df: DataFrame, keyCol: Column, tsMsCol: Column, tieCol: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsMsCol, tieCol)
+    df.withColumn("prev_ts", lag(tsMsCol, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || tsMsCol - col("prev_ts") > gapMs, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_sess")
+  }
+
+  /** Fixed-width histogram bucket id in [0, nBuckets-1]; values outside
+    * [lo, hi) clamp to the edge buckets. Reference: Airbnb price histogram
+    * (utils/json_parsers.py:69). */
+  def bucketOf(c: Column, lo: Double, width: Double, nBuckets: Int): Column =
+    least(greatest(floor((c - lit(lo)) / lit(width)), lit(0)), lit(nBuckets - 1)).cast("int")
+
+  /** As-of (latest-before) lookup: for every row, the most recent value of
+    * `pickCol` among rows where `markCol` is true, within the same key,
+    * at-or-before the current row. Implemented as carry-forward
+    * `last(..., ignoreNulls)` over one ordered window — a single shuffle,
+    * no range join (which would be quadratic per key at scale). */
+  def asOfCarryForward(df: DataFrame, keyCol: Column, tsCol: Column, tieCol: Column,
+                       markCol: Column, pickCol: Column, outName: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outName, last(when(markCol, pickCol), ignoreNulls = true).over(w))
+  }
+
+  /** Stale-item selection mirroring `op_estimate_listings_or_divide_periodical`
+    * (operations/grids.py:80): pick `limit` items whose last activity is
+    * older than `cutoffMs` (or never seen), excluding items in `excludeKeys`,
+    * oldest (nulls first) first. `excludeKeys` plays the role of the
+    * already-submitted-task set; at scale it is a broadcast anti join. */
+  def staleScan(universe: DataFrame, keyName: String, lastTsName: String,
+                excludeKeys: DataFrame, cutoffMs: Long, limit: Int): DataFrame =
+    universe
+      .join(broadcast(excludeKeys), Seq(keyName), "left_anti")
+      .filter(col(lastTsName).isNull || col(lastTsName) <= cutoffMs)
+      .orderBy(col(lastTsName).asc_nulls_first, col(keyName).asc)
+      .limit(limit)
+
+  /** Upsert merge with change-threshold detection, mirroring
+    * `register_listings_from_response` (workunits.py:124): rows in
+    * `updates` that are new keys → "created"; existing keys whose value
+    * moved more than `threshold` → "moved"; otherwise "unchanged".
+    * Shuffle join on the key (both sides large at 100 TB; AQE handles
+    * relative sizes). */
+  def upsertMerge(current: DataFrame, updates: DataFrame, keyName: String,
+                  curVal: String, updVal: String, threshold: Double): DataFrame = {
+    updates.join(current, Seq(keyName), "left_outer")
+      .withColumn("status",
+        when(col(curVal).isNull, lit("created"))
+          .when(abs(col(updVal) - col(curVal)) > threshold, lit("moved"))
+          .otherwise(lit("unchanged")))
+  }
+}
