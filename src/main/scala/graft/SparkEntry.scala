@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All queries live in `graft.queries.*` packs (one per SURVEY §2 section);
+  * this object is just the registry the driver iterates.
+  */
 object SparkEntry {
+
+  /** Every implemented query pack, concatenated. Names are globally unique
+    * (enforced by [[Registry.assertUnique]] at first access). */
+  private lazy val packs: Seq[QueryPack] = Registry.packs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    Registry.assertUnique(packs)
+    packs.flatMap(_.queries).toMap
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  lazy val oracleSql: Map[String, String] =
+    packs.flatMap(_.oracleSql).toMap
+}
+
+private[graft] object Registry {
+  def packs: Seq[QueryPack] = Seq(QueriesA)
+
+  def assertUnique(packs: Seq[QueryPack]): Unit = {
+    val names = packs.flatMap(_.defs.map(_.name))
+    val dup = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names across packs: ${dup.mkString(",")}")
+  }
 }

@@ -24,9 +24,12 @@ object PortableHash {
     conv(substring(md5(in.cast("string")), 1, 15), 16, 10).cast(LongType)
   }
 
-  /** Matching DuckDB SQL fragment; `expr` must be a SQL string expression. */
+  /** Matching DuckDB SQL fragment; `expr` must be a SQL string expression.
+    * The salt is escaped for a single-quoted SQL literal. */
   def md5LongSql(expr: String, salt: String = ""): String = {
-    val in = if (salt.isEmpty) expr else s"concat('$salt', $expr)"
+    val in =
+      if (salt.isEmpty) expr
+      else s"concat('${salt.replace("'", "''")}', $expr)"
     s"CAST(('0x' || substr(md5($in), 1, 15)) AS BIGINT)"
   }
 

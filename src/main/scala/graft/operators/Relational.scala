@@ -74,27 +74,38 @@ object Relational {
     * (operations/grids.py:80): pick `limit` items whose last activity is
     * older than `cutoffMs` (or never seen), excluding items in `excludeKeys`,
     * oldest (nulls first) first. `excludeKeys` plays the role of the
-    * already-submitted-task set; at scale it is a broadcast anti join. */
+    * already-submitted-task set. When `hintBroadcast` (default false) the
+    * exclusion side is broadcast-hinted — only safe when the caller knows
+    * it is small; otherwise AQE picks the join strategy, since at 100 TB
+    * the submitted-task set can exceed driver/broadcast limits. */
   def staleScan(universe: DataFrame, keyName: String, lastTsName: String,
-                excludeKeys: DataFrame, cutoffMs: Long, limit: Int): DataFrame =
+                excludeKeys: DataFrame, cutoffMs: Long, limit: Int,
+                hintBroadcast: Boolean = false): DataFrame = {
+    val excl = if (hintBroadcast) broadcast(excludeKeys) else excludeKeys
     universe
-      .join(broadcast(excludeKeys), Seq(keyName), "left_anti")
+      .join(excl, Seq(keyName), "left_anti")
       .filter(col(lastTsName).isNull || col(lastTsName) <= cutoffMs)
       .orderBy(col(lastTsName).asc_nulls_first, col(keyName).asc)
       .limit(limit)
+  }
 
   /** Upsert merge with change-threshold detection, mirroring
     * `register_listings_from_response` (workunits.py:124): rows in
     * `updates` that are new keys → "created"; existing keys whose value
     * moved more than `threshold` → "moved"; otherwise "unchanged".
+    * "created" is decided by join-key absence (a presence marker on the
+    * current side), NOT value-NULLness — an existing key whose current
+    * value is legitimately NULL must not be misreported as created.
     * Shuffle join on the key (both sides large at 100 TB; AQE handles
     * relative sizes). */
   def upsertMerge(current: DataFrame, updates: DataFrame, keyName: String,
                   curVal: String, updVal: String, threshold: Double): DataFrame = {
-    updates.join(current, Seq(keyName), "left_outer")
+    val cur = current.withColumn("_matched", lit(true))
+    updates.join(cur, Seq(keyName), "left_outer")
       .withColumn("status",
-        when(col(curVal).isNull, lit("created"))
+        when(col("_matched").isNull, lit("created"))
           .when(abs(col(updVal) - col(curVal)) > threshold, lit("moved"))
           .otherwise(lit("unchanged")))
+      .drop("_matched")
   }
 }

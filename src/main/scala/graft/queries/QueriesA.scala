@@ -270,10 +270,10 @@ object QueriesA extends QueryPack {
         val universe = ev.groupBy("user_id")
           .agg(max(when(col("event_type") === "purchase", col("ts_ms"))).as("last_ts"))
         val excl = ev.filter(col("event_type") === "error" &&
-            col("ts_ms") >= millisOf("2024-01-25 00:00:00"))
+            col("ts_ms") >= millisOf("2024-01-29 00:00:00"))
           .select("user_id").distinct()
         Relational.staleScan(universe, "user_id", "last_ts", excl,
-          cutoffMs = millisOf("2024-01-20 00:00:00"), limit = 100)
+          cutoffMs = millisOf("2024-01-28 00:00:00"), limit = 100)
       },
       Some("""
         WITH universe AS (
@@ -281,11 +281,11 @@ object QueriesA extends QueryPack {
           FROM events GROUP BY user_id),
         excl AS (
           SELECT DISTINCT user_id FROM events
-          WHERE event_type = 'error' AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-25 00:00:00'))
+          WHERE event_type = 'error' AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-29 00:00:00'))
         SELECT u.user_id, u.last_ts
         FROM universe u
         WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.user_id = u.user_id)
-          AND (u.last_ts IS NULL OR u.last_ts <= epoch_ms(TIMESTAMP '2024-01-20 00:00:00'))
+          AND (u.last_ts IS NULL OR u.last_ts <= epoch_ms(TIMESTAMP '2024-01-28 00:00:00'))
         ORDER BY u.last_ts ASC NULLS FIRST, u.user_id
         LIMIT 100""")),
 
