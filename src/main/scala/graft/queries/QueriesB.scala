@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.geo.{Distance, Mercator, QuadKey, SyntheticGeo}
+import graft.operators.GridOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2B geospatial — PostGIS/mercantile semantics re-expressed as Catalyst
+  * column math over synthetic deterministic geography (SURVEY.md §3).
+  * Reference analogs per query in SURVEY.md §2B. */
+object QueriesB extends QueryPack {
+  import Q._
+
+  private val lngE = SyntheticGeo.lngSql
+  private val latE = SyntheticGeo.latSql
+  /** events + synthetic point columns (shared projection) */
+  private def pts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events").withColumn("lng", SyntheticGeo.lng).withColumn("lat", SyntheticGeo.lat)
+
+  def defs: Seq[QDef] = Seq(
+    // ---------------------------------------------------------------- q20
+    // Point-in-bbox spatial join (listing∩AOI, managers.py:200): bbox dims
+    // derived from region keys; dim side broadcast → no shuffle of points.
+    QDef("q20_point_in_bbox_join",
+      (s, dir) => {
+        val boxes = t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"),
+            (col("r_regionkey") * 72 - 180).as("min_lng"),
+            (col("r_regionkey") * 72 - 108).as("max_lng"))
+        pts(s, dir)
+          .join(broadcast(boxes),
+            col("lng") >= col("min_lng") && col("lng") < col("max_lng") &&
+              col("lat") >= -60 && col("lat") < 60)
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_points"), dec38(sum(dec(col("value")))).as("sum_value"))
+          .orderBy("r_name")
+      },
+      Some(s"""
+        WITH boxes AS (
+          SELECT r_regionkey, r_name, r_regionkey*72 - 180 AS min_lng,
+                 r_regionkey*72 - 108 AS max_lng FROM region),
+        p AS (SELECT *, $lngE AS lng, $latE AS lat FROM events)
+        SELECT r_name, count(*) AS n_points,
+               CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS sum_value
+        FROM p JOIN boxes ON lng >= min_lng AND lng < max_lng
+                         AND lat >= -60 AND lat < 60
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // ---------------------------------------------------------------- q21
+    // lng/lat → z6 quadkey (bit-interleave) + per-tile rollup
+    // (mercantile tiling, models.py:308 model_from_tile).
+    QDef("q21_quadkey_agg",
+      (s, dir) => {
+        val z = 6
+        pts(s, dir)
+          .select(QuadKey.tileX(col("lng"), z).as("x"), QuadKey.tileY(col("lat"), z).as("y"),
+            col("value"))
+          .withColumn("qk", QuadKey.qkNum(col("x"), col("y"), z))
+          .groupBy("qk", "x", "y")
+          .agg(count(lit(1)).as("n"), dec38(sum(dec(col("value")))).as("sum_value"))
+          .orderBy(col("n").desc, col("qk").asc)
+          .limit(50)
+      },
+      Some(s"""
+        WITH p AS (SELECT value, ${QuadKey.tileXSql(lngE, 6)} AS x,
+                          ${QuadKey.tileYSql(latE, 6)} AS y FROM events),
+        g AS (SELECT ${QuadKey.qkNumSql("x", "y", 6)} AS qk, x, y,
+                     count(*) AS n, CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS sum_value
+              FROM p GROUP BY 1, 2, 3)
+        SELECT qk, x, y, n, sum_value FROM g
+        ORDER BY n DESC, qk ASC
+        LIMIT 50""")),
+
+    // ---------------------------------------------------------------- q22
+    // Quadtree refinement (op_estimate_listings_or_divide, grids.py:20):
+    // split tiles with count > threshold into children, z3 → z7.
+    QDef("q22_grid_subdivide",
+      (s, dir) => {
+        GridOps.subdivide(pts(s, dir), col("lng"), col("lat"), z0 = 3, zMax = 7, threshold = 200)
+          .orderBy("z", "x", "y")
+      },
+      Some(GridOps.subdivideSql("SELECT $lngE AS lng, $latE AS lat FROM events"
+          .replace("$lngE", lngE).replace("$latE", latE),
+          "lng", "lat", z0 = 3, zMax = 7, threshold = 200) +
+        " ORDER BY z, x, y")),
+
+    // ---------------------------------------------------------------- q23
+    // EPSG:4326 → 3857 forward + inverse roundtrip (utils/spatial.py:225).
+    QDef("q23_reproject",
+      (s, dir) => {
+        pts(s, dir)
+          .select(col("event_id"),
+            round(Mercator.x3857(col("lng")), 2).as("x3857"),
+            round(Mercator.y3857(col("lat")), 2).as("y3857"),
+            (abs(Mercator.latOf(Mercator.y3857(col("lat"))) - col("lat")) < 1e-9 &&
+              abs(Mercator.lngOf(Mercator.x3857(col("lng"))) - col("lng")) < 1e-9)
+              .as("roundtrip_ok"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH p AS (SELECT event_id, $lngE AS lng, $latE AS lat FROM events)
+        SELECT event_id,
+               round(${Mercator.x3857Sql("lng")}, 2) AS x3857,
+               round(${Mercator.y3857Sql("lat")}, 2) AS y3857,
+               (abs(${Mercator.latOfSql(Mercator.y3857Sql("lat"))} - lat) < 1e-9 AND
+                abs(${Mercator.lngOfSql(Mercator.x3857Sql("lng"))} - lng) < 1e-9) AS roundtrip_ok
+        FROM p
+        ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- q24
+    // Consecutive-position movement per user: haversine distance + the
+    // significally-moved threshold (spatial.py:179, workunits.py:124).
+    QDef("q24_distance",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(expr("ts DIV 1000000"), col("event_id"))
+        val moved = pts(s, dir)
+          .withColumn("p_lat", lag(col("lat"), 1).over(w))
+          .withColumn("p_lng", lag(col("lng"), 1).over(w))
+          .filter(col("p_lat").isNotNull)
+          .withColumn("km", round(
+            Distance.haversineKm(col("p_lat"), col("p_lng"), col("lat"), col("lng")), 3))
+        moved.groupBy("user_id")
+          .agg(count(lit(1)).as("n_moves"),
+            count(when(col("km") > 100.0, 1)).as("n_big_moves"),
+            dec38(sum(col("km").cast("decimal(18,3)"))).as("sum_km"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, $lngE AS lng, $latE AS lat
+                   FROM events),
+        m AS (SELECT user_id,
+                lag(lat) OVER w AS p_lat, lag(lng) OVER w AS p_lng, lat, lng
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        d AS (SELECT user_id,
+                round(${Distance.haversineKmSql("p_lat", "p_lng", "lat", "lng")}, 3) AS km
+              FROM m WHERE p_lat IS NOT NULL)
+        SELECT user_id, count(*) AS n_moves,
+               count(CASE WHEN km > 100.0 THEN 1 END) AS n_big_moves,
+               CAST(sum(CAST(km AS DECIMAL(18,3))) AS $dec38Sql) AS sum_km
+        FROM d
+        GROUP BY user_id
+        ORDER BY user_id""")),
+  )
+}
