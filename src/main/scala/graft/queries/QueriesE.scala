@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** §2E LLM-pipeline text analysis over `documents` — language-ID, quality
+  * scoring, token counting, fingerprinting (SURVEY.md §2E; reference
+  * analog: review-language + review-text handling). All metrics are exact
+  * integer/array math so results hash-match the DuckDB oracle. */
+object QueriesE extends QueryPack {
+
+  private val wSql = wordsSql("text")
+
+  def defs: Seq[QDef] = Seq(
+    // ---------------------------------------------------------------- q50
+    // Stopword-marker language ID vs the labeled lang column: per-language
+    // confusion rollup (accuracy view), deterministic tie-break.
+    QDef("q50_langid",
+      (s, dir) => {
+        val scored = langMarkers.foldLeft(
+            t(s, dir, "documents").withColumn("w", words(col("text")))) {
+            case (df, (l, markers)) => df.withColumn(s"s_$l", langScore(col("w"), markers))
+          }
+          .withColumn("predicted", predictedLang)
+        scored.groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_en")).cast("bigint").as("sum_s_en"),
+            sum(col("s_de") + col("s_es") + col("s_fr")).cast("bigint").as("sum_s_other"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""
+        WITH d AS (SELECT lang, $wSql AS w FROM documents),
+        s AS (SELECT lang,
+                ${langMarkers.map { case (l, m) => s"${langScoreSql("w", m)} AS s_$l" }.mkString(", ")}
+              FROM d),
+        p AS (SELECT lang, s_en, s_de, s_es, s_fr, $predictedLangSql AS predicted FROM s)
+        SELECT lang, predicted, count(*) AS n,
+               CAST(sum(s_en) AS BIGINT) AS sum_s_en,
+               CAST(sum(s_de + s_es + s_fr) AS BIGINT) AS sum_s_other
+        FROM p
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted""")),
+
+    // ---------------------------------------------------------------- q51
+    // Per-document quality metrics + composite score (length, type-token
+    // ratio, avg word length, stopword ratio) — review-quality filtering.
+    // All ratios in integer basis points (x DIV y): engine-exact — double
+    // `round()` differs between engines on half-way cases (Spark rounds
+    // the shortest-repr string, DuckDB the raw double).
+    QDef("q51_quality",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("w", words(col("text")))
+          .withColumn("n_words", size(col("w")))
+          .withColumn("n_distinct", size(array_distinct(col("w"))))
+          .withColumn("sum_wlen", expr("aggregate(w, 0, (acc, x) -> acc + length(x))"))
+          .withColumn("n_stop", langScore(col("w"), langMarkers.toMap.apply("en")))
+          .select(col("doc_id"), col("n_chars"), col("n_words"),
+            expr("n_distinct * 10000 DIV n_words").as("ttr_bp"),
+            expr("sum_wlen * 100 DIV n_words").as("awl_c"),
+            expr("n_stop * 10000 DIV n_words").as("stop_bp"),
+            expr("n_distinct * 5000 DIV n_words" +
+              " + least(sum_wlen * 300 DIV n_words, 3000)" +
+              " + (2000 - n_stop * 2000 DIV n_words)").as("quality_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, n_chars, $wSql AS w FROM documents),
+        m AS (
+          SELECT doc_id, n_chars, len(w) AS n_words,
+                 len(list_distinct(w)) AS n_distinct,
+                 list_sum(list_transform(w, x -> length(x))) AS sum_wlen,
+                 ${langScoreSql("w", langMarkers.toMap.apply("en"))} AS n_stop
+          FROM d)
+        SELECT doc_id, n_chars, n_words,
+               CAST(n_distinct * 10000 // n_words AS BIGINT) AS ttr_bp,
+               CAST(sum_wlen * 100 // n_words AS BIGINT) AS awl_c,
+               CAST(n_stop * 10000 // n_words AS BIGINT) AS stop_bp,
+               CAST(n_distinct * 5000 // n_words
+                 + least(sum_wlen * 300 // n_words, 3000)
+                 + (2000 - n_stop * 2000 // n_words) AS BIGINT) AS quality_bp
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q52
+    // Token counting per source: whitespace tokens, BPE-ish ceil(len/4)
+    // estimate, regex token count.
+    QDef("q52_tokens",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("w", words(col("text")))
+          .withColumn("ws_tokens", size(col("w")))
+          .withColumn("bpe_est", floor((col("n_chars") + 3) / 4).cast("bigint"))
+          .withColumn("re_tokens", expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).cast("bigint").as("sum_ws"),
+            sum(col("bpe_est")).cast("bigint").as("sum_bpe"),
+            sum(col("re_tokens")).cast("bigint").as("sum_re"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT source, len($wSql) AS ws_tokens,
+                 CAST(floor((n_chars + 3) / 4) AS BIGINT) AS bpe_est,
+                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS sum_ws,
+               CAST(sum(bpe_est) AS BIGINT) AS sum_bpe,
+               CAST(sum(re_tokens) AS BIGINT) AS sum_re
+        FROM d
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q53
+    // Rolling-hash document fingerprint (streamable analog of the
+    // reference's md5 checksum) + bucket distribution rollup.
+    QDef("q53_fingerprint",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("fp", rollingFingerprint("text"))
+          .select(col("doc_id"), col("fp"), (col("fp") % 64).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, ${rollingFingerprintSql("text")} AS fp,
+               ${rollingFingerprintSql("text")} % 64 AS bucket
+        FROM documents
+        ORDER BY doc_id""")),
+  )
+}
