@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` columns as higher-order-function
+  * expressions (codegen'd, no UDF), with DuckDB SQL twins that accumulate
+  * in the same index order so doubles match bit-for-bit (SURVEY.md §2D).
+  *
+  * All helpers take COLUMN NAMES (expressions are parsed by each engine's
+  * SQL parser). Elements are cast float→double before any arithmetic —
+  * both engines then see identical doubles.
+  */
+object VectorOps {
+
+  /** Σ a[i]*b[i], left-to-right. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** Dot product against an integer-literal hyperplane (same length). */
+  def dotLit(a: String, w: Seq[Int]): Column =
+    expr(s"aggregate(zip_with($a, array(${w.mkString(", ")}), " +
+      "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  def dotLitSql(a: String, w: Seq[Int]): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, [${w.mkString(", ")}]), " +
+      s"t -> CAST(t[1] AS DOUBLE) * t[2])), (acc, v) -> acc + v)"
+
+  /** cosine(a, b) = dot/(sqrt(dot(a,a))*sqrt(dot(b,b))), identical op order. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Deterministic pseudo-random hyperplane j over dim dims: integer
+    * weights in [-10, 10] from pure key arithmetic — identical literals
+    * are emitted into both engines' plans. */
+  def hyperplane(j: Int, dim: Int): Seq[Int] =
+    (0 until dim).map(i => ((j * 131 + i * 37) % 21) - 10)
+
+  /** Random-hyperplane LSH bucket id of vector column `v`: bit j set iff
+    * dot(v, hyperplane_j) >= 0. nPlanes <= 30. */
+  def lshBucket(v: String, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(dotLit(v, hyperplane(j, dim)) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  def lshBucketSql(v: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN ${dotLitSql(v, hyperplane(j, dim))} >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

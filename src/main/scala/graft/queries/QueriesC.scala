@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.dedup.Dedup
+import graft.functions.{PortableHash, TextFunctions, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2C LLM-pipeline deduplication over `documents`/`embeddings`
+  * (SURVEY.md §2C). The corpus has no planted near-dups, so every query
+  * reports the TOP-K most-similar candidates (deterministic order) rather
+  * than a threshold filter — non-vacuous on any corpus. All pairwise work
+  * is bucket-scoped (LSH band / byte-band / block key): linear at 100 TB. */
+object QueriesC extends QueryPack {
+
+  private val wSql = TextFunctions.wordsSql("text")
+
+  /** documents + word array + distinct word-3-gram shingles */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", TextFunctions.words(col("text")))
+      .withColumn("sh", array_distinct(TextFunctions.wordNgrams("w", 3)))
+      .filter(size(col("sh")) > 0)
+
+  private val shingledSql =
+    s"""SELECT doc_id, sh FROM (
+          SELECT doc_id, list_distinct(${TextFunctions.wordNgramsSql("w", 3)}) AS sh
+          FROM (SELECT doc_id, $wSql AS w FROM documents))
+        WHERE len(sh) > 0"""
+
+  def defs: Seq[QDef] = Seq(
+    // ---------------------------------------------------------------- q30
+    // Exact dedup by canonical bag-of-words signature: one hash groupBy —
+    // the 100 TB path is a single shuffle on the signature.
+    QDef("q30_dedup_exact",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("w", TextFunctions.words(col("text")))
+          .withColumn("sig", Dedup.canonicalKey(col("w")))
+          .groupBy("sig")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keep_doc"), max(col("doc_id")).as("last_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("n_docs").desc, col("sig"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, ${Dedup.canonicalKeySql("w")} AS sig
+                   FROM (SELECT doc_id, $wSql AS w FROM documents))
+        SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_doc, max(doc_id) AS last_doc
+        FROM d GROUP BY sig HAVING count(*) > 1
+        ORDER BY n_docs DESC, sig""")),
+
+    // ---------------------------------------------------------------- q31
+    // MinHash + LSH banding: shingle → 6 portable minhashes → 6 bands of 1
+    // → bucket-join candidates → exact jaccard verify → top 20.
+    QDef("q31_dedup_minhash",
+      (s, dir) => {
+        val docs = shingled(s, dir)
+        val sigs = docs.select(col("doc_id"), Dedup.minhashSig("sh", 6).as("sig"))
+        val pairs = Dedup.lshCandidates(sigs, "doc_id", "sig", nHashes = 6, bandSize = 1)
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        pairs.join(a, "id_a").join(b, "id_b")
+          .withColumn("jac_bp", Dedup.jaccardBp("sh_a", "sh_b"))
+          .select("id_a", "id_b", "jac_bp")
+          .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some {
+        val sig = Dedup.minhashSigSql("sh", 6)
+        val bandSelects = (0 until 6).map { j =>
+          val bucket = PortableHash.md5LongSql(s"concat_ws('|', CAST(sig[${j + 1}] AS VARCHAR))", salt = s"band$j~")
+          s"SELECT doc_id, $j AS band, $bucket AS bucket FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH docs AS ($shingledSql),
+        sigs AS (SELECT doc_id, $sig AS sig FROM docs),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b, ${Dedup.jaccardBpSql("da.sh", "db.sh")} AS jac_bp
+        FROM pairs p
+        JOIN docs da ON da.doc_id = p.id_a
+        JOIN docs db ON db.doc_id = p.id_b
+        ORDER BY jac_bp DESC, id_a, id_b
+        LIMIT 20"""
+      }),
+
+    // ---------------------------------------------------------------- q32
+    // 32-bit SimHash: per-word portable hashes → majority-vote bits →
+    // byte-band candidates (pigeonhole: hamming<=3 pairs always share a
+    // byte) → hamming rollup + identical-simhash clusters.
+    QDef("q32_dedup_simhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("w", TextFunctions.words(col("text")))
+          .filter(size(col("w")) > 0)
+          .withColumn("hw", transform(col("w"), x => PortableHash.md5Long(x)))
+          .select(col("doc_id"), Dedup.simhash32("hw").as("sh"))
+        val bands = docs.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bval")))
+        val pairs = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+          .distinct()
+          .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+        pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"),
+            min(col("id_a")).as("min_id_a"))
+          .orderBy("hamming")
+      },
+      Some {
+        val hwSql = s"list_transform(w, x -> ${PortableHash.md5LongSql("x")})"
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, sh, $b AS band, (sh >> ${8 * b}) & 255 AS bval FROM docs"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH d AS (SELECT doc_id, $wSql AS w FROM documents),
+        d2 AS (SELECT doc_id, $hwSql AS hw FROM d WHERE len(w) > 0),
+        docs AS (SELECT doc_id, ${Dedup.simhash32Sql("hw")} AS sh FROM d2),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT ${Dedup.hammingSql("sh_a", "sh_b")} AS hamming, count(*) AS n_pairs,
+               min(id_a) AS min_id_a
+        FROM pairs
+        GROUP BY 1
+        ORDER BY hamming"""
+      }),
+
+    // ---------------------------------------------------------------- q33
+    // Blocked n-gram Jaccard: (lang, length-band) blocking → char-3-gram
+    // set similarity within block → top 20.
+    QDef("q33_dedup_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("g", array_distinct(TextFunctions.charNgrams("text", 3)))
+          .filter(size(col("g")) > 0)
+          .withColumn("blk", expr("n_chars DIV 100"))
+        val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
+        val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
+        a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
+          .withColumn("jac_bp", Dedup.jaccardBp("g_a", "g_b"))
+          .select("lang", "id_a", "id_b", "jac_bp")
+          .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT lang, doc_id, n_chars // 100 AS blk,
+                 list_distinct(${TextFunctions.charNgramsSql("text", 3)}) AS g
+          FROM documents),
+        d AS (SELECT * FROM docs WHERE len(g) > 0)
+        SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+               ${Dedup.jaccardBpSql("a.g", "b.g")} AS jac_bp
+        FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        ORDER BY jac_bp DESC, id_a, id_b
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q34
+    // Embedding near-dup: 8-hyperplane LSH bucket → in-bucket cosine →
+    // top 20 most-similar pairs.
+    QDef("q34_dedup_embedding",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"))
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+          .withColumn("cos6", round(VectorOps.cosine("v_a", "v_b"), 6))
+          .select("bucket", "id_a", "id_b", "cos6")
+          .orderBy(col("cos6").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 ${VectorOps.lshBucketSql("embedding", nPlanes = 8, dim = 64)} AS bucket
+          FROM embeddings)
+        SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${VectorOps.cosineSql("a.embedding", "b.embedding")}, 6) AS cos6
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ORDER BY cos6 DESC, id_a, id_b
+        LIMIT 20""")),
+  )
+}
