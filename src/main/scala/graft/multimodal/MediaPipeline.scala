@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** Multimodal column plumbing (SURVEY.md §2F): image/audio/video travel as
+  * opaque `binary` columns with typed metadata (reference analog: media
+  * references, /root/reference/src/ubdc_airbnb/ubdc_airbnb/models.py:504
+  * `picture_url` et al.). The Spark-side shape is real — typed rows,
+  * partition-batched decode, stable output schema; ONLY the codec itself
+  * is stubbed (no image/audio libs in this environment) with a
+  * deterministic fake that any real decoder (javacv, thumbnailator, ...)
+  * can replace behind the same signature.
+  *
+  * Scale shape: `mapPartitions` processes each partition as one batch —
+  * the decoder amortizes per-partition init (model load, codec context)
+  * exactly like `mapInPandas` batches do in PySpark.
+  */
+object MediaPipeline {
+
+  /** An opaque media payload + envelope metadata. */
+  final case class MediaRow(doc_id: Long, source: String, media: Array[Byte])
+
+  /** Typed features extracted per media item. */
+  final case class MediaFeatures(
+      doc_id: Long, source: String, byte_len: Int, magic_hex: String,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** STUB CODEC — deterministic fake decode. A real implementation reads
+    * the container header; this derives plausible dimensions from the id
+    * and checksums the payload so the plumbing is fully testable. */
+  def decodeStub(id: Long, bytes: Array[Byte]): (Int, Int, Int) = {
+    val width = 16 + ((id * 37) % 1008).toInt
+    val height = 16 + ((id * 53) % 752).toInt
+    val nFrames = 1 + (id % 24).toInt
+    (width, height, nFrames)
+  }
+
+  /** Rolling checksum over payload bytes (mod 1e9+7), matching
+    * functions.TextFunctions.rollingFingerprint for ASCII payloads. */
+  def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02X").mkString
+
+  /** Batch feature extraction: one decoder pass per partition. */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    rows.mapPartitions { it =>
+      // per-partition decoder init would go here (codec context, model)
+      it.map { r =>
+        val (w, h, f) = decodeStub(r.doc_id, r.media)
+        MediaFeatures(r.doc_id, r.source, r.media.length,
+          hex(r.media.take(4)), w, h, f, checksum(r.media))
+      }
+    }
+  }
+}

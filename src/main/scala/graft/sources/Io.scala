@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.geo.QuadKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers for the 100 TB deployment (SURVEY.md §5).
+  *
+  * Layout rules encoded here:
+  *  - geo tables partition by a coarse quadkey prefix (z<=6 → <=4096
+  *    dirs): AOI/bbox queries prune partitions before any scan;
+  *  - fact tables write sorted-within-partition on their join key so
+  *    row-group (min,max) statistics prune at the parquet level;
+  *  - target file size governed by repartition before write (one file
+  *    per shuffle partition), maxPartitionBytes on read.
+  */
+object Io {
+
+  /** Write `df` partitioned by quadkey prefix of (lngCol, latCol) at
+    * zoom `z`. Returns the partition column name. */
+  def writeByQuadkey(df: DataFrame, path: String, lngName: String, latName: String,
+                     z: Int): String = {
+    val part = "qk_prefix"
+    df.withColumn(part,
+        QuadKey.qkString(QuadKey.tileX(col(lngName), z), QuadKey.tileY(col(latName), z), z))
+      .write.mode("overwrite").partitionBy(part).parquet(path)
+    part
+  }
+
+  /** Read a quadkey-partitioned table restricted to one tile prefix —
+    * partition pruning handles the rest (verify with explain:
+    * PartitionFilters, not PushedFilters). */
+  def readQuadkeyPrefix(spark: SparkSession, path: String, prefix: String): DataFrame =
+    spark.read.parquet(path).filter(col("qk_prefix").startsWith(prefix))
+
+  /** Write sorted-within-partitions on `sortCols` after hash-distributing
+    * by `distCol`: parquet row-group stats then prune point/range lookups
+    * on the sort key. */
+  def writeSorted(df: DataFrame, path: String, nParts: Int, distCol: String,
+                  sortCols: String*): Unit =
+    df.repartition(nParts, col(distCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+}

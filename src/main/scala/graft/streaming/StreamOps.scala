@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's continuous
+  * collection loop (SURVEY.md §2G; reference analog: celery-beat periodic
+  * harvesting, /root/reference/src/ubdc_airbnb/ubdc_airbnb/management/
+  * commands/run-beat-job.py + task bookkeeping models.py:629).
+  *
+  * Batch jobs answer "what happened"; these operators answer it
+  * continuously with bounded state: watermarks expire session state, so
+  * memory is O(open sessions), not O(events) — the property that matters
+  * when the 100 TB firehose is a stream.
+  */
+object StreamOps {
+
+  final case class Ev(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
+  final case class Session(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, sum_value: Double)
+
+  /** Open-session state (public: the state encoder's generated code
+    * constructs it reflectively). */
+  final case class OpenSession(
+      start_ms: Long, end_ms: Long, n_events: Int, sum_value: Double)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState:
+    * a session closes when no event arrives within `gapMs` (event time).
+    * Emits CLOSED sessions only (append mode). Batch-equivalent of
+    * operators.Relational.sessionize + per-session aggregation. */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+    val stateEnc = Encoders.product[OpenSession]
+
+    def update(userId: Long, rows: Iterator[Ev],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        for (e <- sorted) {
+          open match {
+            case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
+              open = Some(OpenSession(s.start_ms, e.ts_ms, s.n_events + 1, s.sum_value + e.value))
+            case Some(s) =>
+              closed += Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value)
+              open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+            case None =>
+              open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_ms + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as(Encoders.product[Ev])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)(
+        stateEnc, sessEnc)
+  }
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * form of the task-status rollup (q11). */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+}

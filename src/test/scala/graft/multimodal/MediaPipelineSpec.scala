@@ -1,0 +1,28 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+class MediaPipelineSpec extends SparkSpec {
+  import MediaPipeline._
+
+  test("extractFeatures runs the batch plumbing over binary payloads") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((7L, "s1", "KEYWORD and more"), (8L, "s2", "xy"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
+      .as(Encoders.product[MediaRow])
+    val out = extractFeatures(rows).collect().map(f => f.doc_id -> f).toMap
+
+    val f7 = out(7L)
+    assert(f7.byte_len == 16)
+    assert(f7.magic_hex == "4B455957") // "KEYW"
+    assert(f7.width == 16 + (7 * 37 % 1008) && f7.height == 16 + (7 * 53 % 752))
+    assert(f7.n_frames == 1 + 7 % 24)
+    assert(f7.checksum == "KEYWORD and more".foldLeft(0L)((a, c) => (a * 131 + c) % 1000000007L))
+    // short payload: magic truncates, no crash
+    assert(out(8L).magic_hex == "7879")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpec {
+  import StreamOps._
+
+  test("streaming sessionize closes sessions on gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val query = StreamOps.sessionize(input.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 has two events 100ms apart (one session), then a
+      // far event that opens a second session
+      input.addData(Ev(1L, 1000L, 1L, 1.0), Ev(1L, 1100L, 2L, 2.0), Ev(1L, 5000L, 3L, 3.0))
+      query.processAllAvailable()
+      // batch 2: push watermark far ahead so the open session times out
+      input.addData(Ev(2L, 100000L, 4L, 4.0))
+      query.processAllAvailable()
+      input.addData(Ev(2L, 300000L, 5L, 5.0))
+      query.processAllAvailable()
+
+      val out = spark.table("sessions").as[Session].collect()
+        .map(x => (x.user_id, x.start_ms, x.end_ms, x.n_events, x.sum_value)).toSet
+      // user1 session A closed by in-batch gap; session B closed by watermark
+      assert(out.contains((1L, 1000L, 1100L, 2, 3.0)))
+      assert(out.contains((1L, 5000L, 5000L, 1, 3.0)))
+    } finally query.stop()
+  }
+
+  test("windowedCounts aggregates tumbling windows under a watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "typ")
+    val query = StreamOps.windowedCounts(df, "ts", "typ", "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      input.addData((t(1), "a"), (t(2), "a"), (t(3), "b"), (t(11), "a"))
+      query.processAllAvailable()
+      val out = spark.table("wc").selectExpr("typ", "n").as[(String, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(out == Map("a" -> 3L, "b" -> 1L))
+    } finally query.stop()
+  }
+}
