@@ -25,18 +25,31 @@ object Dedup {
   def canonicalKeySql(w: String): String =
     PortableHash.md5LongSql(s"array_to_string(list_sort(list_distinct($w)), ' ')")
 
-  /** MinHash signature column (array of nHashes mins over shingles).
-    * `shingles` must be a distinct string-array column name. */
-  def minhashSig(shingles: String, nHashes: Int): Column = {
+  /** MinHash permutation constants: h_j(x) = (x*A_j + B_j) mod M over a
+    * 31-bit base hash — one md5 per shingle total, then cheap integer
+    * mixing per permutation (the classic a*x+b universal family). All
+    * intermediate products stay < 2^53: exact in both engines. */
+  private val M31 = 2147483647L
+  private def mixA(j: Int): Long = 1000003L + j * 7919L
+  private def mixB(j: Int): Long = 12345L + j * 104729L
+
+  /** 31-bit base hashes of a distinct string-array column (one md5 each). */
+  def shingleHashes(shingles: String): Column =
+    transform(col(shingles), s => PortableHash.md5Long(s) % M31)
+  def shingleHashesSql(shingles: String): String =
+    s"list_transform($shingles, s -> ${PortableHash.md5LongSql("s")} % $M31)"
+
+  /** MinHash signature (array of nHashes mins) over the base-hash array
+    * column `hs` produced by [[shingleHashes]]. */
+  def minhashSig(hs: String, nHashes: Int): Column = {
     val mins = (0 until nHashes).map { j =>
-      array_min(transform(col(shingles),
-        s => PortableHash.md5Long(s, salt = s"mh$j~")))
+      array_min(transform(col(hs), h => (h * mixA(j) + mixB(j)) % M31))
     }
     array(mins: _*)
   }
-  def minhashSigSql(shingles: String, nHashes: Int): String = {
+  def minhashSigSql(hs: String, nHashes: Int): String = {
     val mins = (0 until nHashes).map { j =>
-      s"list_min(list_transform($shingles, s -> ${PortableHash.md5LongSql("s", salt = s"mh$j~")}))"
+      s"list_min(list_transform($hs, h -> (h * ${mixA(j)} + ${mixB(j)}) % $M31))"
     }
     s"[${mins.mkString(", ")}]"
   }
@@ -53,7 +66,9 @@ object Dedup {
         concat_ws("|", (0 until bandSize).map(k => col(sigCol).getItem(b * bandSize + k)): _*),
         salt = s"band$b~")
     val bands = sigs.select(
-      col(idCol), posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "bucket")))
+        col(idCol), posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "bucket")))
+      .cache() // both sides of the self-join read it; avoids recomputing
+               // the signature pipeline twice
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -64,7 +79,8 @@ object Dedup {
 
   /** 32-bit SimHash of the word-hash array column `hw` (each element a
     * portable 60-bit hash): bit i set iff more than half the words have
-    * bit i set. */
+    * bit i set. Array-lambda form (interpreted): fine for small batches;
+    * use [[simhashAgg]] on the hot path. */
   def simhash32(hw: String): Column =
     (0 until 32).map { i =>
       when(expr(s"aggregate($hw, 0, (acc, h) -> acc + CAST((h >> $i) & 1 AS INT)) * 2 > size($hw)"),
@@ -75,12 +91,35 @@ object Dedup {
       s"(CASE WHEN list_sum(list_transform($hw, h -> (h >> $i) & 1)) * 2 > len($hw) THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Scale-path SimHash: explode words → 32 conditional sums in ONE
+    * hash aggregation (whole-stage codegen, partial aggregation) instead
+    * of 32 interpreted array folds per row. Input: (idCol, word string
+    * col); output: (idCol, sh). Same result as [[simhash32]] over the
+    * per-id word multiset. */
+  def simhashAgg(df: DataFrame, idCol: String, wordCol: String): DataFrame = {
+    val h = PortableHash.md5Long(col(wordCol))
+    val sums = (0 until 32).map(i =>
+      sum(shiftright(h, i).bitwiseAND(lit(1L))).as(s"_b$i"))
+    df.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col(idCol),
+        (0 until 32).map(i =>
+          when(col(s"_b$i") * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
   /** Jaccard similarity of two distinct-element array columns, in exact
-    * integer basis points. */
+    * integer basis points. |∪| = |a|+|b|-|∩|: one hash-set build per pair
+    * instead of two (inputs must already be element-distinct). */
   def jaccardBp(a: String, b: String): Column =
-    expr(s"size(array_intersect($a, $b)) * 10000 DIV size(array_distinct(concat($a, $b)))")
+    expr(s"size(array_intersect($a, $b)) * 10000 DIV (size($a) + size($b) - size(array_intersect($a, $b)))")
   def jaccardBpSql(a: String, b: String): String =
-    s"CAST(len(list_intersect($a, $b)) * 10000 // len(list_distinct($a || $b)) AS BIGINT)"
+    s"CAST(len(list_intersect($a, $b)) * 10000 // (len($a) + len($b) - len(list_intersect($a, $b))) AS BIGINT)"
+
+  /** Same, from a precomputed |∩| column (avoids computing the intersect
+    * twice when the optimizer can't CSE it). */
+  def jaccardBpFromInter(inter: Column, a: String, b: String): Column =
+    inter * 10000 / (size(col(a)) + size(col(b)) - inter) cast org.apache.spark.sql.types.LongType
 
   /** Hamming distance between two small-int-bitset columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -35,6 +35,18 @@ object VectorOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** sqrt(dot(v,v)) — project once per side BEFORE a pairwise join so each
+    * pair computes one dot instead of three (same doubles as [[cosine]]:
+    * identical op order, just factored out). */
+  def norm(v: String): Column = sqrt(dot(v, v))
+  def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
+  /** cosine from a pair dot and precomputed norms. */
+  def cosineFromNorms(a: String, b: String, normA: String, normB: String): Column =
+    dot(a, b) / (col(normA) * col(normB))
+  def cosineFromNormsSql(a: String, b: String, normA: String, normB: String): String =
+    s"${dotSql(a, b)} / ($normA * $normB)"
+
   /** Deterministic pseudo-random hyperplane j over dim dims: integer
     * weights in [-10, 10] from pure key arithmetic — identical literals
     * are emitted into both engines' plans. */

@@ -34,6 +34,8 @@ object GridOps {
       .select(QuadKey.tileX(lngCol, zMax).as("x"), QuadKey.tileY(latCol, zMax).as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
       .withColumn("z", lit(zMax))
+      .cache() // every roll-up level + the parent join re-read this; one
+               // point-scan total instead of one per level
     // roll up zMax → z0 (floor-halving == quadkey prefix truncation)
     val levels = Iterator.iterate(deepest) { tiles =>
       tiles.select((col("z") - 1).as("z"),

@@ -15,18 +15,23 @@ object QueriesC extends QueryPack {
 
   private val wSql = TextFunctions.wordsSql("text")
 
-  /** documents + word array + distinct word-3-gram shingles */
+  /** documents + distinct word-3-gram shingles, pre-hashed to 31-bit longs
+    * (ONE md5 per shingle; all downstream set math is on longs). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("w", TextFunctions.words(col("text")))
-      .withColumn("sh", array_distinct(TextFunctions.wordNgrams("w", 3)))
-      .filter(size(col("sh")) > 0)
+      .withColumn("sh0", array_distinct(TextFunctions.wordNgrams("w", 3)))
+      .filter(size(col("sh0")) > 0)
+      .withColumn("sh", array_distinct(Dedup.shingleHashes("sh0")))
+      .select("doc_id", "sh")
+      .cache() // referenced 3x (sigs + both jaccard sides); at 100 TB this
+               // is the persisted signature table, not a recomputation
 
   private val shingledSql =
-    s"""SELECT doc_id, sh FROM (
-          SELECT doc_id, list_distinct(${TextFunctions.wordNgramsSql("w", 3)}) AS sh
+    s"""SELECT doc_id, list_distinct(${Dedup.shingleHashesSql("sh0")}) AS sh FROM (
+          SELECT doc_id, list_distinct(${TextFunctions.wordNgramsSql("w", 3)}) AS sh0
           FROM (SELECT doc_id, $wSql AS w FROM documents))
-        WHERE len(sh) > 0"""
+        WHERE len(sh0) > 0"""
 
   def defs: Seq[QDef] = Seq(
     // ---------------------------------------------------------------- q30
@@ -51,25 +56,29 @@ object QueriesC extends QueryPack {
         ORDER BY n_docs DESC, sig""")),
 
     // ---------------------------------------------------------------- q31
-    // MinHash + LSH banding: shingle → 6 portable minhashes → 6 bands of 1
-    // → bucket-join candidates → exact jaccard verify → top 20.
+    // MinHash + LSH banding: hashed shingles → 6 minhash permutations
+    // (one md5 per shingle + integer mixing) → 3 bands of 2 → bucket-join
+    // candidates → exact jaccard verify → top 20. Band size 2 keeps the
+    // candidate set ~O(n·j²): the pairwise verify never explodes.
     QDef("q31_dedup_minhash",
       (s, dir) => {
         val docs = shingled(s, dir)
         val sigs = docs.select(col("doc_id"), Dedup.minhashSig("sh", 6).as("sig"))
-        val pairs = Dedup.lshCandidates(sigs, "doc_id", "sig", nHashes = 6, bandSize = 1)
+        val pairs = Dedup.lshCandidates(sigs, "doc_id", "sig", nHashes = 6, bandSize = 2)
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         pairs.join(a, "id_a").join(b, "id_b")
-          .withColumn("jac_bp", Dedup.jaccardBp("sh_a", "sh_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "sh_a", "sh_b"))
           .select("id_a", "id_b", "jac_bp")
           .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
           .limit(20)
       },
       Some {
         val sig = Dedup.minhashSigSql("sh", 6)
-        val bandSelects = (0 until 6).map { j =>
-          val bucket = PortableHash.md5LongSql(s"concat_ws('|', CAST(sig[${j + 1}] AS VARCHAR))", salt = s"band$j~")
+        val bandSelects = (0 until 3).map { j =>
+          val key = s"concat_ws('|', CAST(sig[${2 * j + 1}] AS VARCHAR), CAST(sig[${2 * j + 2}] AS VARCHAR))"
+          val bucket = PortableHash.md5LongSql(key, salt = s"band$j~")
           s"SELECT doc_id, $j AS band, $bucket AS bucket FROM sigs"
         }.mkString(" UNION ALL ")
         s"""
@@ -94,11 +103,14 @@ object QueriesC extends QueryPack {
     // byte) → hamming rollup + identical-simhash clusters.
     QDef("q32_dedup_simhash",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // explode + ONE hash-aggregate (codegen'd, partial agg) — the
+        // 100 TB shape; the array-lambda Dedup.simhash32 form is kept for
+        // library users and asserted equal in DedupSpec.
+        val exploded = t(s, dir, "documents")
           .withColumn("w", TextFunctions.words(col("text")))
           .filter(size(col("w")) > 0)
-          .withColumn("hw", transform(col("w"), x => PortableHash.md5Long(x)))
-          .select(col("doc_id"), Dedup.simhash32("hw").as("sh"))
+          .select(col("doc_id"), explode(col("w")).as("word"))
+        val docs = Dedup.simhashAgg(exploded, "doc_id", "word").cache()
         val bands = docs.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bval")))
@@ -139,24 +151,32 @@ object QueriesC extends QueryPack {
     // set similarity within block → top 20.
     QDef("q33_dedup_ngram_jaccard",
       (s, dir) => {
+        // char-3-grams pre-hashed to longs: the per-pair set intersection
+        // runs on fixed-width longs, not strings.
         val docs = t(s, dir, "documents")
-          .withColumn("g", array_distinct(TextFunctions.charNgrams("text", 3)))
-          .filter(size(col("g")) > 0)
-          .withColumn("blk", expr("n_chars DIV 100"))
+          .withColumn("g0", array_distinct(TextFunctions.charNgrams("text", 3)))
+          .filter(size(col("g0")) > 0)
+          .withColumn("g", array_distinct(Dedup.shingleHashes("g0")))
+          .withColumn("blk", expr("n_chars DIV 50"))
+          .select("lang", "blk", "doc_id", "g")
+          .cache() // both sides of the block self-join
         val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
         val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
         a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
-          .withColumn("jac_bp", Dedup.jaccardBp("g_a", "g_b"))
+          .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+          .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
           .select("lang", "id_a", "id_b", "jac_bp")
           .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
           .limit(20)
       },
       Some(s"""
-        WITH docs AS (
-          SELECT lang, doc_id, n_chars // 100 AS blk,
-                 list_distinct(${TextFunctions.charNgramsSql("text", 3)}) AS g
+        WITH docs0 AS (
+          SELECT lang, doc_id, n_chars // 50 AS blk,
+                 list_distinct(${TextFunctions.charNgramsSql("text", 3)}) AS g0
           FROM documents),
-        d AS (SELECT * FROM docs WHERE len(g) > 0)
+        d AS (SELECT lang, doc_id, blk,
+                     list_distinct(${Dedup.shingleHashesSql("g0")}) AS g
+              FROM docs0 WHERE len(g0) > 0)
         SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
                ${Dedup.jaccardBpSql("a.g", "b.g")} AS jac_bp
         FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
@@ -168,13 +188,18 @@ object QueriesC extends QueryPack {
     // top 20 most-similar pairs.
     QDef("q34_dedup_embedding",
       (s, dir) => {
+        // norms projected once per side: each candidate pair costs one dot
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"))
-        val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-        val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+            VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
+            VectorOps.norm("embedding").as("nrm"))
+          .cache() // 8 hyperplane dots + norm per vector, read by both sides
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("v_a"), col("nrm").as("n_a"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("v_b"), col("nrm").as("n_b"))
         a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-          .withColumn("cos6", round(VectorOps.cosine("v_a", "v_b"), 6))
+          .withColumn("cos6", round(VectorOps.cosineFromNorms("v_a", "v_b", "n_a", "n_b"), 6))
           .select("bucket", "id_a", "id_b", "cos6")
           .orderBy(col("cos6").desc, col("id_a"), col("id_b"))
           .limit(20)
@@ -182,10 +207,11 @@ object QueriesC extends QueryPack {
       Some(s"""
         WITH e AS (
           SELECT vec_id, embedding,
-                 ${VectorOps.lshBucketSql("embedding", nPlanes = 8, dim = 64)} AS bucket
+                 ${VectorOps.lshBucketSql("embedding", nPlanes = 8, dim = 64)} AS bucket,
+                 ${VectorOps.normSql("embedding")} AS nrm
           FROM embeddings)
         SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${VectorOps.cosineSql("a.embedding", "b.embedding")}, 6) AS cos6
+               round(${VectorOps.cosineFromNormsSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")}, 6) AS cos6
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ORDER BY cos6 DESC, id_a, id_b
         LIMIT 20""")),

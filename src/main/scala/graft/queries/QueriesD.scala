@@ -8,6 +8,8 @@ import org.apache.spark.sql.expressions.Window
 /** §2D similarity search over `embeddings` (SURVEY.md §2D): brute-force
   * cosine top-k as the exactness baseline, hyperplane-LSH-bucketed ANN as
   * the 100 TB path (query side broadcast, corpus shuffled once by bucket).
+  * Norms are projected once per side so every scored pair costs a single
+  * dot product.
   */
 object QueriesD extends QueryPack {
 
@@ -21,23 +23,27 @@ object QueriesD extends QueryPack {
     QDef("q40_knn_brute",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
+          .cache() // norms computed once, read by corpus and query sides
         val q = e.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos6", round(VectorOps.cosine("q_vec", "embedding"), 6))
+          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "vec_id", "cos6")
           .orderBy("q_id", "rn")
       },
       Some(s"""
-        WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < $NQ),
+        WITH e AS (SELECT vec_id, embedding, ${VectorOps.normSql("embedding")} AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < $NQ),
         scored AS (
           SELECT q.q_id, e.vec_id,
-                 round(${VectorOps.cosineSql("q.q_vec", "e.embedding")}, 6) AS cos6
-          FROM embeddings e CROSS JOIN q
+                 round(${VectorOps.cosineFromNormsSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")}, 6) AS cos6
+          FROM e CROSS JOIN q
           WHERE e.vec_id <> q.q_id),
         ranked AS (
           SELECT q_id, vec_id, cos6,
@@ -54,13 +60,17 @@ object QueriesD extends QueryPack {
     QDef("q41_knn_lsh",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-          .withColumn("bucket", VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64))
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
+            VectorOps.norm("embedding").as("nrm"))
+          .cache() // buckets + norms computed once for corpus and queries
         val q = e.filter(col("vec_id") < NQ)
-          .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .select(col("bucket"), col("vec_id").as("q_id"),
+            col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
         e.join(broadcast(q), "bucket")
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos6", round(VectorOps.cosine("q_vec", "embedding"), 6))
+          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "vec_id", "cos6", "bucket")
@@ -69,12 +79,14 @@ object QueriesD extends QueryPack {
       Some(s"""
         WITH e AS (
           SELECT vec_id, embedding,
-                 ${VectorOps.lshBucketSql("embedding", nPlanes = 8, dim = 64)} AS bucket
+                 ${VectorOps.lshBucketSql("embedding", nPlanes = 8, dim = 64)} AS bucket,
+                 ${VectorOps.normSql("embedding")} AS nrm
           FROM embeddings),
-        q AS (SELECT bucket, vec_id AS q_id, embedding AS q_vec FROM e WHERE vec_id < $NQ),
+        q AS (SELECT bucket, vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
+              FROM e WHERE vec_id < $NQ),
         scored AS (
           SELECT q.q_id, e.vec_id, e.bucket,
-                 round(${VectorOps.cosineSql("q.q_vec", "e.embedding")}, 6) AS cos6
+                 round(${VectorOps.cosineFromNormsSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")}, 6) AS cos6
           FROM e JOIN q ON e.bucket = q.bucket
           WHERE e.vec_id <> q.q_id),
         ranked AS (

@@ -18,10 +18,17 @@ object QueriesE extends QueryPack {
     // confusion rollup (accuracy view), deterministic tie-break.
     QDef("q50_langid",
       (s, dir) => {
-        val scored = langMarkers.foldLeft(
-            t(s, dir, "documents").withColumn("w", words(col("text")))) {
-            case (df, (l, markers)) => df.withColumn(s"s_$l", langScore(col("w"), markers))
-          }
+        // explode + conditional-count aggregation: one codegen'd hash agg
+        // instead of 16 interpreted array-filter lambdas per document
+        // (library form langScore stays for composability; same counts).
+        val ex = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(words(col("text"))).as("x"))
+        val aggs = langMarkers.map { case (l, markers) =>
+          sum(when(col("x").isin(markers: _*), 1).otherwise(0)).cast("int").as(s"s_$l")
+        }
+        val scored = ex.groupBy("doc_id", "lang")
+          .agg(aggs.head, aggs.tail: _*)
           .withColumn("predicted", predictedLang)
         scored.groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"),

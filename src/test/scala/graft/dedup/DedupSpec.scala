@@ -22,7 +22,8 @@ class DedupSpec extends SparkSpec {
       (1L, "x y z p q r"), (2L, "x y z p q r"), (3L, "completely different words here now")
     ).toDF("doc_id", "text")
       .withColumn("w", TextFunctions.words(col("text")))
-      .withColumn("sh", array_distinct(TextFunctions.wordNgrams("w", 3)))
+      .withColumn("sh0", array_distinct(TextFunctions.wordNgrams("w", 3)))
+      .withColumn("sh", array_distinct(Dedup.shingleHashes("sh0")))
     val sigs = df.select(col("doc_id"), Dedup.minhashSig("sh", 4).as("sig"))
     val pairs = Dedup.lshCandidates(sigs, "doc_id", "sig", nHashes = 4, bandSize = 2)
       .as[(Long, Long)].collect().toSeq
@@ -46,6 +47,20 @@ class DedupSpec extends SparkSpec {
     val h = spark.range(1)
       .select(Dedup.hamming(lit(m(1L)), lit(m(3L)))).as[Long].head()
     assert(h == java.lang.Long.bitCount(m(1L) ^ m(3L)))
+  }
+
+  test("simhashAgg (explode form) equals simhash32 (array form)") {
+    val docs = Seq((1L, "a b c a d"), (2L, "q r s t u v"), (3L, "x"))
+      .toDF("doc_id", "text")
+      .withColumn("w", TextFunctions.words(col("text")))
+    val arrayForm = docs
+      .withColumn("hw", transform(col("w"), x => graft.functions.PortableHash.md5Long(x)))
+      .select(col("doc_id"), Dedup.simhash32("hw").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val aggForm = Dedup.simhashAgg(
+        docs.select(col("doc_id"), explode(col("w")).as("word")), "doc_id", "word")
+      .as[(Long, Long)].collect().toMap
+    assert(arrayForm == aggForm)
   }
 
   test("cosine matches hand computation and lshBucket is stable") {
