@@ -1,0 +1,23 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+/** SparkSessionExtensions hook wiring graft's native expressions into the
+  * SQL function registry (SURVEY §4 extension ladder, tier b/c). Applied
+  * by GraftSession.builder; also usable via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_haversine"),
+      new ExpressionInfo(classOf[HaversineKm].getName, "graft_haversine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "graft_haversine(lat1, lng1, lat2, lng2)")
+        val Seq(a, b, c, d) = children.map(Cast(_, DoubleType))
+        HaversineKm(a, b, c, d)
+      }))
+  }
+}

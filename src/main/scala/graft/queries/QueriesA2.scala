@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** §2A extension: reporting-surface operators beyond the core 16 —
+  * approximate distinct (HLL), hierarchical rollup subtotals, pivot.
+  * Reference analog: the admin reporting/stat views over task + listing
+  * tables (SURVEY.md §2A). */
+object QueriesA2 extends QueryPack {
+  import Q._
+
+  def defs: Seq[QDef] = Seq(
+    // ---------------------------------------------------------------- q17
+    // HLL approximate distinct users per event type, next to the exact
+    // count. Not SQL-oracle-expressible (HLL impls differ) → rows-only
+    // driver check; ApproxDistinct error bounds are spec'd in ScalaTest.
+    QDef("q17_approx_distinct",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ---------------------------------------------------------------- q18
+    // Hierarchical subtotals: ROLLUP(returnflag, linestatus) — one pass,
+    // partial-aggregated; the reporting "totals row" surface.
+    QDef("q18_rollup",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            dec38(sum(dec(col("l_extendedprice")))).as("sum_price"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS $decSql)) AS $dec38Sql) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q19
+    // Pivot: per-user value sums by event type (wide reporting view).
+    // Explicit value list → no extra distinct-values job.
+    QDef("q19_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(dec38(sum(dec(col("value")))))
+          .select(col("user_id") +: types.map(c =>
+            coalesce(col(c), lit(0).cast("decimal(38,6)")).as(c)): _*)
+          .orderBy("user_id")
+      },
+      Some(s"""
+        SELECT user_id,
+          COALESCE(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS $decSql) END) AS $dec38Sql), 0) AS click,
+          COALESCE(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS $decSql) END) AS $dec38Sql), 0) AS view,
+          COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS $decSql) END) AS $dec38Sql), 0) AS purchase,
+          COALESCE(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS $decSql) END) AS $dec38Sql), 0) AS signup,
+          COALESCE(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS $decSql) END) AS $dec38Sql), 0) AS error
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+  )
+}
