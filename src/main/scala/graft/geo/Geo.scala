@@ -80,6 +80,49 @@ object QuadKey {
   /** Parent tile coordinate (one zoom up): floor-halving, mirrors
     * quadkey-string truncation. */
   def parent(t: Column): Column = shiftright(t, 1)
+
+  // --- quadkey-string surface mirroring the reference's grids.py --------
+
+  /** Decode a quadkey digit string to struct(x, y, z)
+    * (bbox_from_quadkey inverse path, utils/grids.py:9). Left fold over
+    * digits: each digit contributes one bit to x (d & 1) and y (d >> 1). */
+  def qkDecode(qkName: String): Column = expr(
+    s"""aggregate(
+          transform(sequence(1, length($qkName)), i -> ascii(substr($qkName, i, 1)) - 48),
+          named_struct('x', 0L, 'y', 0L),
+          (acc, d) -> named_struct('x', acc.x * 2 + (d % 2), 'y', acc.y * 2 + (d div 2)),
+          acc -> named_struct('x', acc.x, 'y', acc.y, 'z', length($qkName)))""")
+
+  /** Tile → lng/lat bbox struct(west, south, east, north)
+    * (mercantile.bounds / bbox_from_quadkey, utils/grids.py:9). */
+  def tileBbox(x: Column, y: Column, z: Int): Column = {
+    val n = (1L << z).toDouble
+    def lngOf(t: Column) = t / n * 360 - 180
+    def latOf(t: Column) = atan(sinh((lit(1) - t / n * 2) * math.Pi)) * 180 / math.Pi
+    struct(lngOf(x).as("west"), latOf(y + 1).as("south"),
+      lngOf(x + 1).as("east"), latOf(y).as("north"))
+  }
+
+  /** The four child quadkeys (replace_quadkey_with_children,
+    * utils/grids.py:107). */
+  def children(qk: Column): Column =
+    array(Seq("0", "1", "2", "3").map(d => concat(qk, lit(d))): _*)
+
+  /** Parent quadkey string; empty at the root (qk_has_parent,
+    * utils/grids.py:72). */
+  def parentQk(qk: Column): Column = qk.substr(lit(1), length(qk) - 1)
+
+  /** All quadkeys at zoom `z` whose tiles intersect the lng/lat bbox —
+    * the grid-seeding step (quadkeys_of_geom/get_quadkeys_for,
+    * utils/spatial.py:115,130), here for bbox geometries. Produces
+    * O((Δx)·(Δy)) strings: callers pick a coarse z (the reference seeds
+    * at z<=12 too). */
+  def tilesCoveringBbox(west: Column, south: Column, east: Column, north: Column,
+                        z: Int): Column = {
+    val xs = sequence(tileX(west, z), tileX(east, z))
+    val ys = sequence(tileY(north, z), tileY(south, z)) // y grows southward
+    flatten(transform(xs, x => transform(ys, y => qkString(x, y, z))))
+  }
 }
 
 /** EPSG:4326 ↔ 3857 web-mercator, mirroring the reference's `reproject`

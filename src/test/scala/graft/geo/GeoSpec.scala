@@ -38,6 +38,34 @@ class GeoSpec extends SparkSpec {
     assert(p == 3L)
   }
 
+  test("qkDecode inverts qkString and parent/children round-trip") {
+    val df = Seq((13L, 27L)).toDF("x", "y")
+      .withColumn("qk", QuadKey.qkString(col("x"), col("y"), 6))
+    val dec = df.select(QuadKey.qkDecode("qk").as("s")).select("s.*")
+      .as[(Long, Long, Int)].head()
+    assert(dec == ((13L, 27L, 6)))
+    val (kids, par) = df.select(QuadKey.children(col("qk")), QuadKey.parentQk(col("qk")))
+      .as[(Seq[String], String)].head()
+    val qk = df.select("qk").as[String].head()
+    assert(kids == Seq("0", "1", "2", "3").map(qk + _))
+    assert(par == qk.dropRight(1))
+  }
+
+  test("tileBbox contains the tile's own points and tilesCoveringBbox covers it") {
+    val z = 5
+    val df = Seq((-122.33, 47.61)).toDF("lng", "lat")
+      .select(QuadKey.tileX(col("lng"), z).as("x"), QuadKey.tileY(col("lat"), z).as("y"))
+    val (w, s, e, n) = df.select(QuadKey.tileBbox(col("x"), col("y"), z).as("b"))
+      .select("b.*").as[(Double, Double, Double, Double)].head()
+    assert(w <= -122.33 && -122.33 < e && s <= 47.61 && 47.61 < n)
+    // covering tiles of that bbox at the same zoom include the tile itself
+    val qks = spark.range(1)
+      .select(QuadKey.tilesCoveringBbox(lit(w + 1e-9), lit(s + 1e-9),
+        lit(e - 1e-9), lit(n - 1e-9), z)).as[Seq[String]].head()
+    val selfQk = df.select(QuadKey.qkString(col("x"), col("y"), z)).as[String].head()
+    assert(qks == Seq(selfQk)) // epsilon-shrunk bbox maps to exactly its tile
+  }
+
   test("mercator forward/inverse roundtrips") {
     val df = Seq((-122.33, 47.61), (0.005, 0.005), (179.0, -84.0)).toDF("lng", "lat")
     val bad = df.filter(
