@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen'd queries in one JVM overflow the
+  // default 240m code cache; once full the JIT stops compiling and
+  // trig-heavy plans run interpreted (observed 10-20x slowdowns)
+  "-XX:ReservedCodeCacheSize=512m",
 )
