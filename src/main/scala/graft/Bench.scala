@@ -11,11 +11,15 @@ object Bench {
     // plan, not first-touch classloading.
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches (signature tables etc.) so later queries
-      // aren't measured under earlier queries' memory pressure
+      // two runs, report the min: run 1 absorbs codegen/JIT compile and
+      // transient host throttling; run 2 (cache cleared in between) is
+      // the steady-state plan execution a long-running cluster job sees.
+      val dt = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       spark.catalog.clearCache()
       name -> dt
     }

@@ -39,6 +39,18 @@ object Dedup {
   def shingleHashesSql(shingles: String): String =
     s"list_transform($shingles, s -> ${PortableHash.md5LongSql("s")} % $M31)"
 
+  /** Scalar 31-bit base hash — apply to an EXPLODED shingle column so the
+    * md5 runs inside whole-stage codegen instead of an interpreted array
+    * lambda (the hot-path form; same values as [[shingleHashes]]). */
+  def shingleHash(c: Column): Column = PortableHash.md5Long(c) % M31
+
+  /** MinHash minimum aggregates over an exploded base-hash column: use in
+    * ONE groupBy together with collect_set to build signature + shingle
+    * set in a single codegen'd pass. Min over the multiset equals min
+    * over the set — same signature as [[minhashSig]]. */
+  def minhashAggs(h: Column, nHashes: Int): Seq[Column] =
+    (0 until nHashes).map(j => min((h * mixA(j) + mixB(j)) % M31).as(s"_mh$j"))
+
   /** MinHash signature (array of nHashes mins) over the base-hash array
     * column `hs` produced by [[shingleHashes]]. */
   def minhashSig(hs: String, nHashes: Int): Column = {
@@ -67,8 +79,8 @@ object Dedup {
         salt = s"band$b~")
     val bands = sigs.select(
         col(idCol), posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "bucket")))
-      .cache() // both sides of the self-join read it; avoids recomputing
-               // the signature pipeline twice
+      .cache() // both sides of the self-join read it
+    bands.count() // eager: avoid concurrent double-compute of the pipeline
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -15,17 +15,33 @@ object QueriesC extends QueryPack {
 
   private val wSql = TextFunctions.wordsSql("text")
 
-  /** documents + distinct word-3-gram shingles, pre-hashed to 31-bit longs
-    * (ONE md5 per shingle; all downstream set math is on longs). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** documents → exploded shingle POSITIONS (cheap generator child —
+    * Spark inlines the generator child into GenerateExec and re-evaluates
+    * it per OUTPUT row, so exploding the built ngram array would redo the
+    * whole array build ~n times per doc) → per-row 3-gram concat + md5
+    * inside codegen → ONE hash-aggregate building BOTH the shingle set
+    * (collect_set dedups) and the 6 minhash mins. Cached: referenced by
+    * the band pipeline and both jaccard sides — at 100 TB this is the
+    * persisted signature table. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "documents")
       .withColumn("w", TextFunctions.words(col("text")))
-      .withColumn("sh0", array_distinct(TextFunctions.wordNgrams("w", 3)))
-      .filter(size(col("sh0")) > 0)
-      .withColumn("sh", array_distinct(Dedup.shingleHashes("sh0")))
-      .select("doc_id", "sh")
-      .cache() // referenced 3x (sigs + both jaccard sides); at 100 TB this
-               // is the persisted signature table, not a recomputation
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
+      .withColumn("h", Dedup.shingleHash(expr("concat_ws(' ', w[i], w[i+1], w[i+2])")))
+    val aggs = collect_set(col("h")).as("sh") +: Dedup.minhashAggs(col("h"), 6)
+    val sigTable = exploded.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until 6).map(j => col(s"_mh$j")): _*))
+      .select("doc_id", "sh", "sig")
+      .cache()
+    // eager materialization: the final plan references this table from
+    // three subtrees of ONE job — without it, concurrent tasks race the
+    // unpopulated cache and recompute the md5 pipeline up to 3x
+    sigTable.count()
+    sigTable
+  }
 
   private val shingledSql =
     s"""SELECT doc_id, list_distinct(${Dedup.shingleHashesSql("sh0")}) AS sh FROM (
@@ -63,7 +79,7 @@ object QueriesC extends QueryPack {
     QDef("q31_dedup_minhash",
       (s, dir) => {
         val docs = shingled(s, dir)
-        val sigs = docs.select(col("doc_id"), Dedup.minhashSig("sh", 6).as("sig"))
+        val sigs = docs.select("doc_id", "sig")
         val pairs = Dedup.lshCandidates(sigs, "doc_id", "sig", nHashes = 6, bandSize = 2)
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -111,6 +127,7 @@ object QueriesC extends QueryPack {
           .filter(size(col("w")) > 0)
           .select(col("doc_id"), explode(col("w")).as("word"))
         val docs = Dedup.simhashAgg(exploded, "doc_id", "word").cache()
+        docs.count() // eager: band self-join reads it twice
         val bands = docs.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bval")))
@@ -151,15 +168,18 @@ object QueriesC extends QueryPack {
     // set similarity within block → top 20.
     QDef("q33_dedup_ngram_jaccard",
       (s, dir) => {
-        // char-3-grams pre-hashed to longs: the per-pair set intersection
-        // runs on fixed-width longs, not strings.
+        // positions exploded → substr + md5 inside codegen → collect_set:
+        // per-pair set intersection runs on fixed-width longs, no
+        // interpreted array lambdas anywhere on the hot path.
         val docs = t(s, dir, "documents")
-          .withColumn("g0", array_distinct(TextFunctions.charNgrams("text", 3)))
-          .filter(size(col("g0")) > 0)
-          .withColumn("g", array_distinct(Dedup.shingleHashes("g0")))
-          .withColumn("blk", expr("n_chars DIV 50"))
-          .select("lang", "blk", "doc_id", "g")
-          .cache() // both sides of the block self-join
+          .filter(length(col("text")) >= 3)
+          .select(col("lang"), expr("n_chars DIV 50").as("blk"), col("doc_id"),
+            col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+          .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
+          .groupBy("lang", "blk", "doc_id")
+          .agg(collect_set(col("h")).as("g"))
+          .cache()
+        docs.count() // eager: both self-join sides read the cache
         val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
         val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
         a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
@@ -193,7 +213,8 @@ object QueriesC extends QueryPack {
           .select(col("vec_id"), col("embedding"),
             VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
             VectorOps.norm("embedding").as("nrm"))
-          .cache() // 8 hyperplane dots + norm per vector, read by both sides
+          .cache()
+        e.count() // eager: read by both join sides in one job
         val a = e.select(col("bucket"), col("vec_id").as("id_a"),
           col("embedding").as("v_a"), col("nrm").as("n_a"))
         val b = e.select(col("bucket"), col("vec_id").as("id_b"),

@@ -24,7 +24,8 @@ object QueriesD extends QueryPack {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
-          .cache() // norms computed once, read by corpus and query sides
+          .cache()
+        e.count() // eager: corpus + query sides share one job
         val q = e.filter(col("vec_id") < NQ)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
@@ -63,7 +64,8 @@ object QueriesD extends QueryPack {
           .select(col("vec_id"), col("embedding"),
             VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
             VectorOps.norm("embedding").as("nrm"))
-          .cache() // buckets + norms computed once for corpus and queries
+          .cache()
+        e.count() // eager: corpus + query sides share one job
         val q = e.filter(col("vec_id") < NQ)
           .select(col("bucket"), col("vec_id").as("q_id"),
             col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
