@@ -109,6 +109,55 @@ object QueriesB extends QueryPack {
         FROM p
         ORDER BY event_id""")),
 
+    // ---------------------------------------------------------------- q25
+    // The 100 TB spatial-join path: bboxes expand to covering z4 tiles,
+    // points map to their z4 tile, EQUI-join on (x, y) + exact refilter —
+    // no nested-loop scan, shuffles hash-partition on tile. Same output
+    // as q20 (which keeps the broadcast-NLJ form for small dim sides).
+    QDef("q25_tile_join",
+      (s, dir) => {
+        val z = 4
+        val boxes = t(s, dir, "region")
+          .select(col("r_name"),
+            (col("r_regionkey") * 72 - 180).as("min_lng"),
+            (col("r_regionkey") * 72 - 108).as("max_lng"))
+        val tiles = boxes
+          .withColumn("x", explode(sequence(
+            QuadKey.tileX(col("min_lng"), z), QuadKey.tileX(col("max_lng"), z))))
+          .withColumn("y", explode(sequence(
+            QuadKey.tileY(lit(60.0), z), QuadKey.tileY(lit(-60.0), z))))
+        val p = pts(s, dir)
+          .withColumn("x", QuadKey.tileX(col("lng"), z))
+          .withColumn("y", QuadKey.tileY(col("lat"), z))
+        p.join(broadcast(tiles), Seq("x", "y"))
+          .filter(col("lng") >= col("min_lng") && col("lng") < col("max_lng") &&
+            col("lat") >= -60 && col("lat") < 60)
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_points"), dec38(sum(dec(col("value")))).as("sum_value"))
+          .orderBy("r_name")
+      },
+      Some(s"""
+        WITH boxes AS (
+          SELECT r_name, r_regionkey*72 - 180 AS min_lng,
+                 r_regionkey*72 - 108 AS max_lng FROM region),
+        tiles AS (
+          SELECT r_name, min_lng, max_lng, tx.x AS x, ty.y AS y
+          FROM boxes,
+               unnest(range(${QuadKey.tileXSql("min_lng", 4)},
+                            ${QuadKey.tileXSql("max_lng", 4)} + 1)) AS tx(x),
+               unnest(range(${QuadKey.tileYSql("60", 4)},
+                            ${QuadKey.tileYSql("-60", 4)} + 1)) AS ty(y)),
+        p AS (SELECT value, $lngE AS lng, $latE AS lat,
+                     ${QuadKey.tileXSql(lngE, 4)} AS x,
+                     ${QuadKey.tileYSql(latE, 4)} AS y
+              FROM events)
+        SELECT r_name, count(*) AS n_points,
+               CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS sum_value
+        FROM p JOIN tiles USING (x, y)
+        WHERE lng >= min_lng AND lng < max_lng AND lat >= -60 AND lat < 60
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
     // ---------------------------------------------------------------- q24
     // Consecutive-position movement per user: haversine distance + the
     // significally-moved threshold (spatial.py:179, workunits.py:124).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.functions.{PortableHash, TextFunctions, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,6 +49,24 @@ object QueriesC extends QueryPack {
           FROM (SELECT doc_id, $wSql AS w FROM documents))
         WHERE len(sh0) > 0"""
 
+  /** q31's band/bucket candidate-pair chain as standalone WITH-SQL
+    * (shared by q31 and the q35 clustering oracle). */
+  private val candidatePairsSql: String = {
+    val sig = Dedup.minhashSigSql("sh", 6)
+    val bandSelects = (0 until 3).map { j =>
+      val key = s"concat_ws('|', CAST(sig[${2 * j + 1}] AS VARCHAR), CAST(sig[${2 * j + 2}] AS VARCHAR))"
+      val bucket = PortableHash.md5LongSql(key, salt = s"band$j~")
+      s"SELECT doc_id, $j AS band, $bucket AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS ($shingledSql),
+        sigs AS (SELECT doc_id, $sig AS sig FROM docs),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+  }
+
   def defs: Seq[QDef] = Seq(
     // ---------------------------------------------------------------- q30
     // Exact dedup by canonical bag-of-words signature: one hash groupBy —
@@ -90,27 +108,40 @@ object QueriesC extends QueryPack {
           .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
           .limit(20)
       },
-      Some {
-        val sig = Dedup.minhashSigSql("sh", 6)
-        val bandSelects = (0 until 3).map { j =>
-          val key = s"concat_ws('|', CAST(sig[${2 * j + 1}] AS VARCHAR), CAST(sig[${2 * j + 2}] AS VARCHAR))"
-          val bucket = PortableHash.md5LongSql(key, salt = s"band$j~")
-          s"SELECT doc_id, $j AS band, $bucket AS bucket FROM sigs"
-        }.mkString(" UNION ALL ")
-        s"""
-        WITH docs AS ($shingledSql),
-        sigs AS (SELECT doc_id, $sig AS sig FROM docs),
-        bands AS ($bandSelects),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      Some(s"""
+        $candidatePairsSql
         SELECT p.id_a, p.id_b, ${Dedup.jaccardBpSql("da.sh", "db.sh")} AS jac_bp
         FROM pairs p
         JOIN docs da ON da.doc_id = p.id_a
         JOIN docs db ON db.doc_id = p.id_b
         ORDER BY jac_bp DESC, id_a, id_b
-        LIMIT 20"""
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q35
+    // Connected components over the LSH candidate pairs: min-label
+    // propagation turns pairwise near-dup matches into dedup clusters
+    // ("keep smallest doc_id per cluster"). Oracle: recursive-CTE
+    // transitive closure over the identical edge list.
+    QDef("q35_dedup_cluster",
+      (s, dir) => {
+        val docs = shingled(s, dir)
+        val pairs = Dedup.lshCandidates(docs.select("doc_id", "sig"),
+          "doc_id", "sig", nHashes = 6, bandSize = 2)
+        Components.labelPropagation(pairs, "id_a", "id_b")
+          .groupBy(col("lbl").as("cluster"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("id")).as("keep_doc"), max(col("id")).as("last_doc"))
+          .orderBy("cluster")
+      },
+      Some {
+        val edgesSql =
+          s"SELECT id_a, id_b FROM ($candidatePairsSql SELECT id_a, id_b FROM pairs)"
+        s"""
+        SELECT lbl AS cluster, count(*) AS n_docs,
+               min(id) AS keep_doc, max(id) AS last_doc
+        FROM (${Components.labelPropagationSql(edgesSql)})
+        GROUP BY lbl
+        ORDER BY cluster"""
       }),
 
     // ---------------------------------------------------------------- q32

@@ -1,0 +1,29 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelPropagation finds components with min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val labels = Components.labelPropagation(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("a long chain converges (diameter > 2)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.labelPropagation(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L) && labels.size == 12)
+  }
+}
