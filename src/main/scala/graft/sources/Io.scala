@@ -41,4 +41,15 @@ object Io {
     df.repartition(nParts, col(distCol))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Bucketed managed table: co-locates `key` so equal-bucketed joins run
+    * WITHOUT an exchange — the layout for repeated fact⋈fact joins at
+    * 100 TB (e.g. responses⋈tasks on listing id, both huge). Bucket
+    * counts must match across join partners. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
