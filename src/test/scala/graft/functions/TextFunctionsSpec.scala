@@ -35,6 +35,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("null and whitespace-only text are safe through the text pipeline") {
+    val df = Seq(Some("a b c"), None, Some("   "), Some("")).toDF("text")
+    val out = df
+      .select(TextFunctions.words(col("text")).as("w"))
+      .select(col("w"), TextFunctions.wordNgrams("w", 3).as("g"))
+      .as[(Option[Seq[String]], Option[Seq[String]])].collect()
+    assert(out(0) == ((Some(Seq("a", "b", "c")), Some(Seq("a b c")))))
+    assert(out(1) == ((None, None)))         // null text → null arrays, no crash
+    assert(out(2) == ((Some(Seq()), Some(Seq()))))
+    assert(out(3) == ((Some(Seq()), Some(Seq()))))
+    // fingerprint of null is null; of empty is the fold seed (0)
+    val fp = df.select(TextFunctions.rollingFingerprint("text"))
+      .as[Option[Long]].collect()
+    assert(fp(1).isEmpty && fp(3).contains(0L))
+  }
+
   test("predictedLang breaks ties en > de > es > fr") {
     val df = Seq(
       (2, 1, 0, 0),   // en wins
