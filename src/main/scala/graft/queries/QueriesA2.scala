@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.Tables.t
+import graft.geo.SyntheticGeo
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** §2A extension: reporting-surface operators beyond the core 16 —
   * approximate distinct (HLL), hierarchical rollup subtotals, pivot.
@@ -44,6 +46,45 @@ object QueriesA2 extends QueryPack {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q09b
+    // Nested-payload parse (SRH response handling: utils/spatial.py:153
+    // listing_locations_from_response + json_parsers.get_lnglat_bbox):
+    // Spark CONSTRUCTS a JSON search-response per user (array of
+    // {listing_id, lat, lng}), PARSES it back with from_json, and
+    // aggregates count + bbox. The oracle computes the same aggregates
+    // directly from the base rows — a hash-match proves the JSON
+    // round-trip loses nothing (doubles included).
+    QDef("q09b_response_parse",
+      (s, dir) => {
+        val listingSchema = ArrayType(StructType(Seq(
+          StructField("listing_id", LongType),
+          StructField("lat", DoubleType),
+          StructField("lng", DoubleType))))
+        val payloads = t(s, dir, "events")
+          .withColumn("lng", SyntheticGeo.lng).withColumn("lat", SyntheticGeo.lat)
+          .groupBy("user_id")
+          .agg(to_json(collect_list(struct(
+            col("event_id").as("listing_id"), col("lat"), col("lng")))).as("payload"))
+        payloads
+          .withColumn("ls", from_json(col("payload"), listingSchema))
+          .select(col("user_id"),
+            size(col("ls")).as("n_listings"),
+            expr("array_min(transform(ls, x -> x.lat))").as("min_lat"),
+            expr("array_max(transform(ls, x -> x.lat))").as("max_lat"),
+            expr("array_min(transform(ls, x -> x.lng))").as("min_lng"),
+            expr("array_max(transform(ls, x -> x.lng))").as("max_lng"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH p AS (SELECT user_id, ${SyntheticGeo.lngSql} AS lng, ${SyntheticGeo.latSql} AS lat
+                   FROM events)
+        SELECT user_id, count(*) AS n_listings,
+               min(lat) AS min_lat, max(lat) AS max_lat,
+               min(lng) AS min_lng, max(lng) AS max_lng
+        FROM p
+        GROUP BY user_id
+        ORDER BY user_id""")),
 
     // ---------------------------------------------------------------- q19
     // Pivot: per-user value sums by event type (wide reporting view).
