@@ -11,10 +11,12 @@ object Bench {
     // plan, not first-touch classloading.
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // two runs, report the min: run 1 absorbs codegen/JIT compile and
-      // transient host throttling; run 2 (cache cleared in between) is
-      // the steady-state plan execution a long-running cluster job sees.
-      val dt = (1 to 2).map { _ =>
+      // min of N runs (cache cleared between them): run 1 absorbs
+      // codegen/JIT compile; the min filters transient host throttling,
+      // which swings identical binaries by 4-10x on this box. Every run
+      // still includes the full pipeline (no warm caches carried over).
+      val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      val dt = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
