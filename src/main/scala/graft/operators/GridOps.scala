@@ -34,8 +34,9 @@ object GridOps {
       .select(QuadKey.tileX(lngCol, zMax).as("x"), QuadKey.tileY(latCol, zMax).as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
       .withColumn("z", lit(zMax))
-      .cache() // every roll-up level + the parent join re-read this; one
-               // point-scan total instead of one per level
+      .cache() // every roll-up level + the parent join re-read this
+    deepest.count() // eager: ~10 subtrees reference it in one job — an
+                    // unpopulated cache would be raced and recomputed
     // roll up zMax → z0 (floor-halving == quadkey prefix truncation)
     val levels = Iterator.iterate(deepest) { tiles =>
       tiles.select((col("z") - 1).as("z"),
