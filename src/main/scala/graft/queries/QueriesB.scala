@@ -158,6 +158,64 @@ object QueriesB extends QueryPack {
         GROUP BY r_name
         ORDER BY r_name""")),
 
+    // ---------------------------------------------------------------- q26
+    // Spatial upsert — the faithful register_listings_from_response
+    // (workunits.py:124): per-user latest position per epoch; merge where
+    // "moved" means PLANAR EPSG:3857 distance > threshold (meters), with
+    // the movement record (from/to distance) the reference stores in
+    // `notes`. q06 is the generic value-delta form of the same operator.
+    QDef("q26_spatial_upsert",
+      (s, dir) => {
+        val thresholdM = 500 * 1000.0 // 500 km in 3857 meters
+        val splitMs = Q.millisOf("2024-01-15 00:00:00")
+        val ev = pts(s, dir).withColumn("ts_ms", expr(Q.tsMs))
+        def latest(df: org.apache.spark.sql.DataFrame, px: String, py: String) =
+          graft.operators.Relational.latestSnapshot(df,
+              Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
+            .select(col("user_id"),
+              Mercator.x3857(col("lng")).as(px), Mercator.y3857(col("lat")).as(py))
+        val cur = latest(ev.filter(col("ts_ms") < splitMs), "cx", "cy")
+        val upd = latest(ev.filter(col("ts_ms") >= splitMs), "ux", "uy")
+        val dist = sqrt((col("ux") - col("cx")) * (col("ux") - col("cx")) +
+          (col("uy") - col("cy")) * (col("uy") - col("cy")))
+        upd.join(cur.withColumn("_matched", lit(true)), Seq("user_id"), "left_outer")
+          .withColumn("dist_m", round(dist, 3))
+          .withColumn("status",
+            when(col("_matched").isNull, lit("created"))
+              .when(col("dist_m") > thresholdM, lit("moved"))
+              .otherwise(lit("unchanged")))
+          .select(col("user_id"), col("status"), col("dist_m"),
+            round(col("cx"), 2).as("from_x"), round(col("cy"), 2).as("from_y"),
+            round(col("ux"), 2).as("to_x"), round(col("uy"), 2).as("to_y"))
+          .orderBy("user_id")
+      },
+      Some {
+        def latestSql(cond: String) = s"""
+          SELECT user_id, ${Mercator.x3857Sql("lng")} AS px, ${Mercator.y3857Sql("lat")} AS py
+          FROM (SELECT user_id, $lngE AS lng, $latE AS lat,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+                FROM events WHERE $cond)
+          WHERE rn = 1"""
+        s"""
+        WITH cur AS (${latestSql("epoch_ms(ts) < epoch_ms(TIMESTAMP '2024-01-15 00:00:00')")}),
+        upd AS (${latestSql("epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')")}),
+        m AS (
+          SELECT u.user_id AS user_id, c.px AS cx, c.py AS cy, u.px AS ux, u.py AS uy,
+                 round(sqrt((u.px - c.px) * (u.px - c.px) + (u.py - c.py) * (u.py - c.py)), 3) AS dist_m,
+                 c.user_id IS NULL AS is_new
+          FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id)
+        SELECT user_id,
+               CASE WHEN is_new THEN 'created'
+                    WHEN dist_m > ${500 * 1000.0} THEN 'moved'
+                    ELSE 'unchanged' END AS status,
+               dist_m,
+               round(cx, 2) AS from_x, round(cy, 2) AS from_y,
+               round(ux, 2) AS to_x, round(uy, 2) AS to_y
+        FROM m
+        ORDER BY user_id"""
+      }),
+
     // ---------------------------------------------------------------- q24
     // Consecutive-position movement per user: haversine distance + the
     // significally-moved threshold (spatial.py:179, workunits.py:124).
