@@ -216,6 +216,38 @@ object QueriesB extends QueryPack {
         ORDER BY user_id"""
       }),
 
+    // ---------------------------------------------------------------- q27
+    // Estimated-listings validity guard (workunits.py qk_estimated_
+    // listings): a tile's estimate only counts when its price-histogram
+    // sum is positive — otherwise the metadata is deemed invalid and the
+    // estimate is zeroed. Histogram sum from the purchase-value proxy.
+    QDef("q27_estimate_guard",
+      (s, dir) => {
+        val z = 6
+        pts(s, dir)
+          .select(QuadKey.tileX(col("lng"), z).as("x"), QuadKey.tileY(col("lat"), z).as("y"),
+            col("event_type"), col("value"))
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("estimated"),
+            dec38(sum(when(col("event_type") === "purchase", dec(col("value")))
+              .otherwise(lit(0).cast(decSql.toLowerCase)))).as("hist_sum"))
+          .withColumn("validated_estimate",
+            when(col("hist_sum") > 0, col("estimated")).otherwise(lit(0L)))
+          .orderBy("x", "y")
+      },
+      Some(s"""
+        WITH p AS (SELECT event_type, value, ${QuadKey.tileXSql(lngE, 6)} AS x,
+                          ${QuadKey.tileYSql(latE, 6)} AS y FROM events),
+        g AS (SELECT x, y, count(*) AS estimated,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS $decSql) ELSE CAST(0 AS $decSql) END)
+                          AS $dec38Sql) AS hist_sum
+              FROM p GROUP BY x, y)
+        SELECT x, y, estimated, hist_sum,
+               CASE WHEN hist_sum > 0 THEN estimated ELSE 0 END AS validated_estimate
+        FROM g
+        ORDER BY x, y""")),
+
     // ---------------------------------------------------------------- q24
     // Consecutive-position movement per user: haversine distance + the
     // significally-moved threshold (spatial.py:179, workunits.py:124).
