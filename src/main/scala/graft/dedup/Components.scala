@@ -31,14 +31,20 @@ object Components {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // labels only ever decrease, so Σ lbl strictly decreases until the
+    // fixpoint: one cheap agg per round replaces a diff join.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = lblSum(labels)
     while (iter < maxIter && !converged) {
       val prop = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").union(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
