@@ -55,4 +55,44 @@ object MediaPipeline {
       }
     }
   }
+
+  /** One sampled frame of a (stub-decoded) video payload. */
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, frame_checksum: Long)
+
+  /** Frame sampling: each payload expands to every `everyN`-th frame —
+    * the fan-out stage of a video pipeline (1 row in, n_frames/everyN
+    * out), expressed as a partition-batched flatMap so the decoder is
+    * opened once per payload, not per frame. Frame bytes are stubbed as a
+    * deterministic slice-rotation of the payload. */
+  def sampleFrames(rows: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val (w, h, nFrames) = decodeStub(r.doc_id, r.media)
+        (0 until nFrames by everyN).iterator.map { idx =>
+          // stub frame content: payload rotated by the frame index
+          val frame =
+            if (r.media.isEmpty) r.media
+            else r.media.drop(idx % r.media.length) ++ r.media.take(idx % r.media.length)
+          FrameRow(r.doc_id, idx, w, h, checksum(frame))
+        }
+      }
+    }
+  }
+
+  /** Resize metadata transform: pure dimension math (aspect-preserving
+    * fit into maxSide), the shape every thumbnailing stage has; the pixel
+    * work is the codec stub's concern. */
+  def resizeDims(width: Int, height: Int, maxSide: Int): (Int, Int) = {
+    val longSide = math.max(width, height)
+    if (longSide <= maxSide) (width, height)
+    else {
+      // round-half-up keeps at least 1px
+      val num = maxSide.toLong
+      val w2 = math.max(1L, (width.toLong * num + longSide / 2) / longSide).toInt
+      val h2 = math.max(1L, (height.toLong * num + longSide / 2) / longSide).toInt
+      (w2, h2)
+    }
+  }
 }

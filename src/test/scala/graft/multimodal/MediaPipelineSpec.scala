@@ -25,4 +25,28 @@ class MediaPipelineSpec extends SparkSpec {
     // short payload: magic truncates, no crash
     assert(out(8L).magic_hex == "7879")
   }
+
+  test("sampleFrames fans out every Nth frame with deterministic checksums") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((23L, "s1", "some media payload bytes"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
+      .as(Encoders.product[MediaRow])
+    val (_, _, nFrames) = decodeStub(23L, "some media payload bytes".getBytes)
+    val frames = sampleFrames(rows, everyN = 3).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == (0 until nFrames by 3).toSeq)
+    // re-running produces identical checksums (stub is deterministic)
+    val again = sampleFrames(rows, everyN = 3).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_checksum).toSeq == again.map(_.frame_checksum).toSeq)
+    // distinct frames have distinct content checksums
+    assert(frames.map(_.frame_checksum).distinct.length == frames.length)
+  }
+
+  test("resizeDims preserves aspect and never upscales") {
+    assert(MediaPipeline.resizeDims(1000, 500, 200) == ((200, 100)))
+    assert(MediaPipeline.resizeDims(500, 1000, 200) == ((100, 200)))
+    assert(MediaPipeline.resizeDims(100, 50, 200) == ((100, 50))) // no upscale
+    assert(MediaPipeline.resizeDims(10000, 3, 100) == ((100, 1)))  // floor to 1px
+  }
 }
