@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** SparkSessionExtensions hook wiring graft's native expressions into the
   * SQL function registry (SURVEY §4 extension ladder, tier b/c). Applied
@@ -18,6 +18,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 4, "graft_haversine(lat1, lng1, lat2, lng2)")
         val Seq(a, b, c, d) = children.map(Cast(_, DoubleType))
         HaversineKm(a, b, c, d)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tile_x"),
+      new ExpressionInfo(classOf[TileX].getName, "graft_tile_x"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_tile_x(lng, z)")
+        TileX(Cast(children(0), DoubleType), Cast(children(1), IntegerType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tile_y"),
+      new ExpressionInfo(classOf[TileY].getName, "graft_tile_y"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_tile_y(lat, z)")
+        TileY(Cast(children(0), DoubleType), Cast(children(1), IntegerType))
       }))
   }
 }

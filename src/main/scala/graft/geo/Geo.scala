@@ -30,14 +30,31 @@ object QuadKey {
   private def rad(c: Column): Column = c * math.Pi / 180
   private def radSql(e: String): String = s"$e * pi() / 180"
 
-  /** Web-mercator tile x at zoom z, clamped to [0, 2^z-1]. */
-  def tileX(lng: Column, z: Int): Column = {
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Web-mercator tile x at zoom z, clamped to [0, 2^z-1]. Native
+    * Catalyst expression (one static call in codegen); bit-identical to
+    * [[tileXComposed]] — asserted in TileExprSpec. */
+  def tileX(lng: Column, z: Int): Column =
+    toCol(graft.expressions.TileX(toExpr(lng.cast("double")),
+      org.apache.spark.sql.catalyst.expressions.Literal(z)))
+
+  /** Web-mercator tile y at zoom z, clamped to [0, 2^z-1]. Native. */
+  def tileY(lat: Column, z: Int): Column =
+    toCol(graft.expressions.TileY(toExpr(lat.cast("double")),
+      org.apache.spark.sql.catalyst.expressions.Literal(z)))
+
+  /** Composed built-in-function forms (the tier-a ladder rung): kept for
+    * the native-vs-composed equality spec and as reference semantics. */
+  def tileXComposed(lng: Column, z: Int): Column = {
     val n = 1L << z
     least(greatest(floor((lng + 180) / 360 * n), lit(0L)), lit(n - 1)).cast(LongType)
   }
 
-  /** Web-mercator tile y at zoom z, clamped to [0, 2^z-1]. */
-  def tileY(lat: Column, z: Int): Column = {
+  def tileYComposed(lat: Column, z: Int): Column = {
     val n = 1L << z
     val r = rad(lat)
     val f = (lit(1) - log(tan(r) + lit(1) / cos(r)) / math.Pi) / 2 * n
