@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TileX(Cast(children(0), DoubleType), Cast(children(1), IntegerType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(array<float>, array<float>)")
+        FloatVecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tile_y"),
       new ExpressionInfo(classOf[TileY].getName, "graft_tile_y"),
       (children: Seq[Expression]) => {

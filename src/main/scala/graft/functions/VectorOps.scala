@@ -13,18 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ a[i]*b[i], left-to-right. */
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Σ a[i]*b[i], left-to-right — native expression (tight primitive loop
+    * in codegen); bit-identical to [[dotComposed]] (spec-asserted). */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    toCol(graft.expressions.FloatVecDot(toExpr(col(a)), toExpr(col(b))))
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
       s"t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (acc, v) -> acc + v)"
 
-  /** Dot product against an integer-literal hyperplane (same length). */
+  /** Higher-order-function form (tier-a reference semantics). */
+  def dotComposed(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Dot product against an integer-literal hyperplane (same length).
+    * Weights ride as a foldable float-array literal: (double)(float)w ==
+    * (double)w for |w| <= 10, so values match the int-promoted form. */
   def dotLit(a: String, w: Seq[Int]): Column =
-    expr(s"aggregate(zip_with($a, array(${w.mkString(", ")}), " +
-      "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    toCol(graft.expressions.FloatVecDot(toExpr(col(a)),
+      toExpr(array(w.map(x => lit(x.toFloat)): _*))))
   def dotLitSql(a: String, w: Seq[Int]): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, [${w.mkString(", ")}]), " +
       s"t -> CAST(t[1] AS DOUBLE) * t[2])), (acc, v) -> acc + v)"
