@@ -133,6 +133,15 @@ object Dedup {
   def jaccardBpFromInter(inter: Column, a: String, b: String): Column =
     inter * 10000 / (size(col(a)) + size(col(b)) - inter) cast org.apache.spark.sql.types.LongType
 
+  /** Native |∩| over SORTED distinct long-array columns (merge walk in
+    * codegen, no per-pair hash set — the verify-stage hot path; pair it
+    * with sort_array(collect_set(...)) on the cached signature table). */
+  def sortedIntersectCount(a: String, b: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(a)),
+        org.apache.spark.sql.GraftColumnBridge.expression(col(b))))
+
   /** Hamming distance between two small-int-bitset columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
   def hammingSql(a: String, b: String): String = s"bit_count(xor($a, $b))"

@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TileX(Cast(children(0), DoubleType), Cast(children(1), IntegerType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_intersect_count(sorted array<bigint> x2)")
+        SortedIntersectCount(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
       (children: Seq[Expression]) => {

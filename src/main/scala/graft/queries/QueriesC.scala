@@ -30,7 +30,8 @@ object QueriesC extends QueryPack {
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
       .withColumn("h", Dedup.shingleHash(expr("concat_ws(' ', w[i], w[i+1], w[i+2])")))
-    val aggs = collect_set(col("h")).as("sh") +: Dedup.minhashAggs(col("h"), 6)
+    // sorted sets: the pairwise verify uses the native merge-walk count
+    val aggs = sort_array(collect_set(col("h"))).as("sh") +: Dedup.minhashAggs(col("h"), 6)
     val sigTable = exploded.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until 6).map(j => col(s"_mh$j")): _*))
@@ -102,7 +103,7 @@ object QueriesC extends QueryPack {
         val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         pairs.join(a, "id_a").join(b, "id_b")
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("inter", Dedup.sortedIntersectCount("sh_a", "sh_b"))
           .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "sh_a", "sh_b"))
           .select("id_a", "id_b", "jac_bp")
           .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
@@ -208,13 +209,13 @@ object QueriesC extends QueryPack {
             col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
           .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
           .groupBy("lang", "blk", "doc_id")
-          .agg(collect_set(col("h")).as("g"))
+          .agg(sort_array(collect_set(col("h"))).as("g"))
           .cache()
         docs.count() // eager: both self-join sides read the cache
         val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
         val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
         a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
-          .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+          .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
           .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
           .select("lang", "id_a", "id_b", "jac_bp")
           .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
