@@ -37,11 +37,17 @@ object GridOps {
       .cache() // every roll-up level + the parent join re-read this
     deepest.count() // eager: ~10 subtrees reference it in one job — an
                     // unpopulated cache would be raced and recomputed
-    // roll up zMax → z0 (floor-halving == quadkey prefix truncation)
+    // roll up zMax → z0 (floor-halving == quadkey prefix truncation);
+    // each level is cached eagerly: the union and the parent join below
+    // would otherwise re-run every level's whole aggregation chain (the
+    // per-level tables are tile counts — tiny at any data scale)
     val levels = Iterator.iterate(deepest) { tiles =>
-      tiles.select((col("z") - 1).as("z"),
+      val next = tiles.select((col("z") - 1).as("z"),
           QuadKey.parent(col("x")).as("x"), QuadKey.parent(col("y")).as("y"), col("c"))
         .groupBy("z", "x", "y").agg(sum("c").as("c"))
+        .cache()
+      next.count()
+      next
     }.take(zMax - z0 + 1).toSeq
     val tiles = levels.reduce(_ unionByName _)
     val parents = tiles.select((col("z") + 1).as("pz"),
