@@ -42,11 +42,11 @@ object QueriesA extends QueryPack {
         Relational.topKPerGroup(t(s, dir, "orders"),
             Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            dec(col("o_totalprice")).as("price"), col("rn"))
+            col("o_totalprice").as("price"), col("rn"))
           .orderBy("o_custkey", "rn")
       },
       Some(s"""
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS $decSql) AS price, rn
+        SELECT o_custkey, o_orderkey, o_totalprice AS price, rn
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
@@ -94,11 +94,11 @@ object QueriesA extends QueryPack {
             t(s, dir, "events").withColumn("ts_ms", expr(tsMs)),
             Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
           .select(col("user_id"), col("event_type").as("last_type"),
-            dec(col("value")).as("last_value"), col("ts_ms").as("last_ts_ms"))
+            col("value").as("last_value"), col("ts_ms").as("last_ts_ms"))
           .orderBy("user_id")
       },
       Some(s"""
-        SELECT user_id, event_type AS last_type, CAST(value AS $decSql) AS last_value,
+        SELECT user_id, event_type AS last_type, value AS last_value,
                epoch_ms(ts) AS last_ts_ms
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
               FROM events)
@@ -112,13 +112,13 @@ object QueriesA extends QueryPack {
             t(s, dir, "events").withColumn("ts_ms", expr(tsMs)),
             Seq(col("user_id")), col("ts_ms"), Seq(col("event_id")))
           .select(col("user_id"), col("event_id"), col("valid_from_ms"),
-            col("valid_to_ms"), dec(col("value")).as("value"))
+            col("valid_to_ms"), col("value"))
           .orderBy("user_id", "valid_from_ms", "event_id")
       },
       Some(s"""
         SELECT user_id, event_id, epoch_ms(ts) AS valid_from_ms,
                lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS valid_to_ms,
-               CAST(value AS $decSql) AS value
+               value
         FROM events
         ORDER BY user_id, valid_from_ms, event_id""")),
 
@@ -134,8 +134,8 @@ object QueriesA extends QueryPack {
         val upd = latest(ev.filter(col("ts_ms") >= splitMs)).withColumnRenamed("value", "upd_value")
         Relational.upsertMerge(cur, upd, "user_id", "cur_value", "upd_value", 50.0)
           .select(col("user_id"), col("status"),
-            dec(col("cur_value")).as("old_value"), dec(col("upd_value")).as("new_value"),
-            dec(when(col("cur_value").isNotNull, abs(col("upd_value") - col("cur_value")))).as("delta"))
+            col("cur_value").as("old_value"), col("upd_value").as("new_value"),
+            when(col("cur_value").isNotNull, abs(col("upd_value") - col("cur_value"))).as("delta"))
           .orderBy("user_id")
       },
       Some(s"""
@@ -153,9 +153,9 @@ object QueriesA extends QueryPack {
           CASE WHEN c.user_id IS NULL THEN 'created'
                WHEN abs(u.value - c.value) > 50.0 THEN 'moved'
                ELSE 'unchanged' END AS status,
-          CAST(c.value AS $decSql) AS old_value,
-          CAST(u.value AS $decSql) AS new_value,
-          CAST(CASE WHEN c.user_id IS NOT NULL THEN abs(u.value - c.value) END AS $decSql) AS delta
+          c.value AS old_value,
+          u.value AS new_value,
+          CASE WHEN c.user_id IS NOT NULL THEN abs(u.value - c.value) END AS delta
         FROM upd u LEFT JOIN cur c ON u.user_id = c.user_id
         ORDER BY u.user_id""")),
 
@@ -180,8 +180,8 @@ object QueriesA extends QueryPack {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
         sess AS (
-          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM flagged)
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
@@ -231,13 +231,14 @@ object QueriesA extends QueryPack {
       (s, dir) => {
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderdate").cast("date").as("order_date"), dec(col("o_totalprice")).as("price"))
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice").as("price"))
           .orderBy(col("order_date"), col("o_orderkey"))
           .offset(100).limit(50)
       },
       Some(s"""
-        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
-               CAST(o_totalprice AS $decSql) AS price
+        SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_totalprice AS price
         FROM orders
         ORDER BY order_date, o_orderkey
         LIMIT 50 OFFSET 100""")),
@@ -246,7 +247,7 @@ object QueriesA extends QueryPack {
     QDef("q11_task_stats",
       (s, dir) => {
         t(s, dir, "events")
-          .withColumn("day", to_date(timestamp_micros(expr("ts DIV 1000"))))
+          .withColumn("day", date_format(timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd"))
           .groupBy("event_type", "day")
           .agg(count(lit(1)).as("n"),
             count(when(col("value") > 100.0, 1)).as("n_hi"),
@@ -255,7 +256,7 @@ object QueriesA extends QueryPack {
           .orderBy("event_type", "day")
       },
       Some(s"""
-        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
                count(CASE WHEN value > 100.0 THEN 1 END) AS n_hi,
                count(DISTINCT user_id) AS users,
                CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS sum_value

@@ -97,7 +97,7 @@ object QueriesA2 extends QueryPack {
           .pivot("event_type", types)
           .agg(dec38(sum(dec(col("value")))))
           .select(col("user_id") +: types.map(c =>
-            coalesce(col(c), lit(0).cast("decimal(38,6)")).as(c)): _*)
+            coalesce(col(c), lit(0).cast("double")).as(c)): _*)
           .orderBy("user_id")
       },
       Some(s"""

@@ -30,10 +30,15 @@ object Q {
     * decimal sums are exact and order-independent, so parallel Spark
     * aggregation hash-matches single-threaded DuckDB. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
-  /** Canonical output type for aggregated decimals (schema-stable). */
-  def dec38(c: Column): Column = c.cast(DecimalType(38, 6))
+  /** Final OUTPUT form of an exact decimal aggregate: cast to DOUBLE.
+    * Both engines convert the identical exact decimal with a correctly-
+    * rounded cast → bit-identical doubles. DECIMAL output columns are
+    * avoided entirely: the driver's canonicalization of parquet decimals
+    * vs oracle decimals diverges (r02: every decimal-output query hash-
+    * mismatched; every double/int/string output matched). */
+  def dec38(c: Column): Column = c.cast("double")
   val decSql = "DECIMAL(18,2)"
-  val dec38Sql = "DECIMAL(38,6)"
+  val dec38Sql = "DOUBLE"
 
   /** events.ts is nanos-since-epoch BIGINT in Spark (see GraftSession);
     * `ts DIV 1000000` equals DuckDB `epoch_ms(ts)` exactly. */
