@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.geo.QuadKey
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quadtree grid refinement, the Spark-first re-expression of the
@@ -33,31 +34,26 @@ object GridOps {
     val deepest = points
       .select(QuadKey.tileX(lngCol, zMax).as("x"), QuadKey.tileY(latCol, zMax).as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
-      .withColumn("z", lit(zMax))
-      .cache() // every roll-up level + the parent join re-read this
-    deepest.count() // eager: ~10 subtrees reference it in one job — an
-                    // unpopulated cache would be raced and recomputed
-    // roll up zMax → z0 (floor-halving == quadkey prefix truncation);
-    // each level is cached eagerly: the union and the parent join below
-    // would otherwise re-run every level's whole aggregation chain (the
-    // per-level tables are tile counts — tiny at any data scale)
-    val levels = Iterator.iterate(deepest) { tiles =>
-      val next = tiles.select((col("z") - 1).as("z"),
-          QuadKey.parent(col("x")).as("x"), QuadKey.parent(col("y")).as("y"), col("c"))
-        .groupBy("z", "x", "y").agg(sum("c").as("c"))
-        .cache()
-      next.count()
-      next
-    }.take(zMax - z0 + 1).toSeq
-    val tiles = levels.reduce(_ unionByName _)
-    val parents = tiles.select((col("z") + 1).as("pz"),
-      col("x").as("px"), col("y").as("py"), col("c").as("pc"))
+    // every level in ONE reaggregation of the deepest-zoom counts:
+    // floor-halving composes, so truncating a zMax tile by (zMax - z)
+    // bits IS the z-level tile of the same point. Explodes only the
+    // constant level array (cheap generator child), then re-groups —
+    // the exploded set is #tiles × #levels rows (tile counts, not
+    // points), tiny at any data scale next to the point shuffle above.
+    val tiles = deepest
+      .select(explode(sequence(lit(z0), lit(zMax))).as("z"),
+        col("x"), col("y"), col("c"))
+      .select(col("z"), expr(s"shiftright(x, $zMax - z)").as("x"),
+        expr(s"shiftright(y, $zMax - z)").as("y"), col("c"))
+      .groupBy("z", "x", "y").agg(sum("c").as("c"))
+    // the parent's count is exactly the sum of its present children's
+    // counts (every point of the parent lands in one child tile), so the
+    // parent lookup is a sibling-sum WINDOW over the tile table — one
+    // extra shuffle of tile counts, no self-join, no cached intermediate.
+    val siblings = Window.partitionBy(col("z"),
+      expr("shiftright(x, 1)"), expr("shiftright(y, 1)"))
     tiles
-      .join(parents,
-        col("z") === col("pz") &&
-          QuadKey.parent(col("x")) === col("px") &&
-          QuadKey.parent(col("y")) === col("py"),
-        "left_outer")
+      .withColumn("pc", sum(col("c")).over(siblings))
       .filter(
         (col("z") === z0 && col("c") <= threshold) ||
           (col("z") > z0 && col("pc") > threshold &&
