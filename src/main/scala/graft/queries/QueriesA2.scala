@@ -14,19 +14,33 @@ object QueriesA2 extends QueryPack {
 
   def defs: Seq[QDef] = Seq(
     // ---------------------------------------------------------------- q17
-    // HLL approximate distinct users per event type, next to the exact
-    // count. Not SQL-oracle-expressible (HLL impls differ) → rows-only
-    // driver check; ApproxDistinct error bounds are spec'd in ScalaTest.
+    // Approximate distinct users per event type, next to the exact count.
+    // Uses the portable deterministic HLL (graft.functions.PortableHll)
+    // so the estimate itself is a full DuckDB hash-match oracle — engine-
+    // native HLLs (approx_count_distinct) stay available as the scale
+    // path but can never cross-validate. Accuracy bounds are spec'd in
+    // PortableHllSpec.
     QDef("q17_approx_distinct",
       (s, dir) => {
-        t(s, dir, "events")
-          .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-            countDistinct(col("user_id")).as("exact_users"),
+        val ev = t(s, dir, "events")
+        val approx = graft.functions.PortableHll
+          .approxDistinct(ev, col("user_id"), Seq("event_type"), "approx_users")
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("n"))
+          .join(approx, Seq("event_type"))
+          .select(col("event_type"), col("approx_users"), col("exact_users"), col("n"))
           .orderBy("event_type")
       },
-      None),
+      Some(s"""
+        WITH a AS ${graft.functions.PortableHll.approxDistinctSql(
+          "events", "user_id", "event_type", "event_type", "approx_users")},
+        x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                     count(*) AS n
+              FROM events GROUP BY 1)
+        SELECT x.event_type AS event_type, approx_users, exact_users, n
+        FROM x JOIN a USING (event_type)
+        ORDER BY event_type""")),
 
     // ---------------------------------------------------------------- q18
     // Hierarchical subtotals: ROLLUP(returnflag, linestatus) — one pass,
