@@ -26,27 +26,45 @@ object Components {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    // Each round is ONE Spark action: cache() + the convergence aggregate
+    // both materializes the round's labels and returns Σ lbl. Labels only
+    // ever decrease, so Σ lbl strictly decreases until the fixpoint — the
+    // single agg replaces a diff join AND the separate eager-checkpoint
+    // job (iterative rounds on a shallow graph are pure job-overhead).
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val c = df.cache()
+      val s = c.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      (c, s)
+    }
+    var (labels, prevSum) = materialize(
+      und.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
-    // labels only ever decrease, so Σ lbl strictly decreases until the
-    // fixpoint: one cheap agg per round replaces a diff join.
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-    var prevSum = lblSum(labels)
     while (iter < maxIter && !converged) {
-      val prop = und.join(labels, und("src") === labels("id"))
+      // propagate over the original edges PLUS the current label mapping
+      // (id ↔ lbl is an equivalence within the component): each round
+      // covers 2-hop paths — pointer-jumping, O(log diameter) rounds to
+      // the same fixpoint. The label edges are exactly |V| rows, so the
+      // per-round shuffle stays linear.
+      val hops = und
+        .union(labels.select(col("id").as("src"), col("lbl").as("dst")))
+        .union(labels.select(col("lbl").as("src"), col("id").as("dst")))
+      val prop = hops.join(labels, hops("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val s = lblSum(next)
+      val (next, s) = materialize(
+        labels.select("id", "lbl").union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      // bound lineage growth across cached rounds (plans nest otherwise)
+      val bounded =
+        if ((iter + 1) % 4 == 0) { val b = next.localCheckpoint(); next.unpersist(); b }
+        else next
       converged = s == prevSum
       prevSum = s
-      labels = next
+      labels.unpersist()
+      labels = bounded
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter sum=$s t=${System.nanoTime()}")
     }
     labels
   }

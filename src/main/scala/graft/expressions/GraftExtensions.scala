@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecDot(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_md5long(string)")
+        Md5Long(Cast(children(0), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tile_y"),
       new ExpressionInfo(classOf[TileY].getName, "graft_tile_y"),
       (children: Seq[Expression]) => {

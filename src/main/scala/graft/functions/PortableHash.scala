@@ -18,8 +18,21 @@ import org.apache.spark.sql.types.LongType
   * not required (see `fast` below).
   */
 object PortableHash {
-  /** Salted portable 60-bit hash of a string column. */
+  /** Salted portable 60-bit hash of a string column. Native
+    * [[graft.expressions.Md5Long]] — one md5 over the raw bytes, first
+    * 60 bits assembled directly (no hex string, no base-16 parse). The
+    * dedup/LSH/HLL family calls this per shingle/word, so the composed
+    * form's string round-trip dominated those queries' runtime. */
   def md5Long(c: Column, salt: String = ""): Column = {
+    val in = if (salt.isEmpty) c else concat(lit(salt), c)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Md5Long(
+        org.apache.spark.sql.GraftColumnBridge.expression(in.cast("string"))))
+  }
+
+  /** Composed built-in form (hex → substr → conv): kept as the reference
+    * semantics; Md5LongSpec asserts bit-identity with [[md5Long]]. */
+  def md5LongComposed(c: Column, salt: String = ""): Column = {
     val in = if (salt.isEmpty) c else concat(lit(salt), c)
     conv(substring(md5(in.cast("string")), 1, 15), 16, 10).cast(LongType)
   }
