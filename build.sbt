@@ -33,5 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of whole-stage-codegen'd queries in one JVM overflow the
   // default 240m code cache; once full the JIT stops compiling and
   // trig-heavy plans run interpreted (observed 10-20x slowdowns)
-  "-XX:ReservedCodeCacheSize=512m",
+  // 42+ codegen'd queries x 3 bench runs overflow smaller caches - when
+  // the code cache fills, the JIT stops compiling and late-alphabet
+  // queries run interpreted (10-30x). Flushing alone thrashes; 1g holds
+  // the full suite.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

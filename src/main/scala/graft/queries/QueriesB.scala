@@ -248,6 +248,60 @@ object QueriesB extends QueryPack {
         FROM g
         ORDER BY x, y""")),
 
+    // ---------------------------------------------------------------- q28
+    // ST_Union analog (managers.py aoi_shapes union): merge overlapping
+    // per-user activity intervals into islands (cumulative-max window —
+    // one shuffle on the key, no pairwise interval join) and report the
+    // covered/total extent. Interval ends are pure integer arithmetic so
+    // the merge is oracle-exact.
+    QDef("q28_interval_union",
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .withColumn("ts_ms", expr(Q.tsMs))
+          .select(col("user_id"), col("ts_ms").as("s"),
+            (col("ts_ms") + (col("event_id") % 3600 + 60) * 1000L).as("e"))
+        val wOrd = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+        val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv
+          .withColumn("prev_e", max(col("e")).over(wPrev))
+          .withColumn("new_island",
+            when(col("prev_e").isNull || col("s") > col("prev_e"), 1).otherwise(0))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+          .groupBy("user_id", "island")
+          .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("is_e") - col("is_s")).cast("bigint").as("covered_ms"),
+            (max(col("is_e")) - min(col("is_s"))).as("span_ms"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, epoch_ms(ts) AS s,
+                 epoch_ms(ts) + (event_id % 3600 + 60) * 1000 AS e
+          FROM events),
+        flagged AS (
+          SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM iv),
+        isl AS (
+          SELECT user_id, s, e,
+                 CAST(sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+          FROM flagged),
+        islands AS (
+          SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+          FROM isl GROUP BY user_id, island)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(sum(is_e - is_s) AS BIGINT) AS covered_ms,
+               max(is_e) - min(is_s) AS span_ms
+        FROM islands
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
     // ---------------------------------------------------------------- q24
     // Consecutive-position movement per user: haversine distance + the
     // significally-moved threshold (spatial.py:179, workunits.py:124).

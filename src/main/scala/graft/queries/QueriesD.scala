@@ -15,6 +15,8 @@ object QueriesD extends QueryPack {
 
   private val K = 5
   private val NQ = 8 // query vectors: vec_id < NQ
+  private val SeedMod = 100 // IVF coarse centroids: every SeedMod-th vector
+  private val NProbe = 2 // IVF cells probed per query
 
   def defs: Seq[QDef] = Seq(
     // ---------------------------------------------------------------- q40
@@ -96,6 +98,78 @@ object QueriesD extends QueryPack {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS rn
           FROM scored)
         SELECT q_id, rn, vec_id, cos6, bucket FROM ranked
+        WHERE rn <= $K
+        ORDER BY q_id, rn""")),
+
+    // ---------------------------------------------------------------- q42
+    // IVF-style ANN: deterministic coarse centroids (every SEEDMOD-th
+    // vector), corpus assigned to its nearest centroid (one broadcast
+    // pass), queries probe the NPROBE nearest cells and brute-force only
+    // inside them. The 100 TB shape: corpus shuffled ONCE by cell id,
+    // centroid table broadcast, probe fan-out linear in queries.
+    QDef("q42_knn_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
+          .cache()
+        e.count() // eager: corpus, seed and query sides share one job
+        val seeds = e.filter(col("vec_id") % SeedMod === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("nrm").as("c_nrm"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(col("sim6").desc, col("c_id"))
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("sim6", round(VectorOps.cosineFromNorms("embedding", "c_vec", "nrm", "c_nrm"), 6))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+        val wProbe = Window.partitionBy("q_id").orderBy(col("sim6").desc, col("c_id"))
+        val probes = e.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+          .crossJoin(broadcast(seeds))
+          .withColumn("sim6", round(VectorOps.cosineFromNorms("q_vec", "c_vec", "q_nrm", "c_nrm"), 6))
+          .withColumn("prn", row_number().over(wProbe))
+          .filter(col("prn") <= NProbe)
+          .select(col("q_id"), col("q_vec"), col("q_nrm"), col("c_id").as("cell"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= K)
+          .select("q_id", "rn", "vec_id", "cos6", "cell")
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, ${VectorOps.normSql("embedding")} AS nrm
+                   FROM embeddings),
+        seeds AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+                  FROM e WHERE vec_id % $SeedMod = 0),
+        assigned AS (
+          SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT e.vec_id, e.embedding, e.nrm, s.c_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(${VectorOps.cosineFromNormsSql("e.embedding", "s.c_vec", "e.nrm", "s.c_nrm")}, 6) DESC,
+                     s.c_id) AS arn
+            FROM e CROSS JOIN seeds s)
+          WHERE arn = 1),
+        probes AS (
+          SELECT q_id, q_vec, q_nrm, cell FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, s.c_id AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     round(${VectorOps.cosineFromNormsSql("q.embedding", "s.c_vec", "q.nrm", "s.c_nrm")}, 6) DESC,
+                     s.c_id) AS prn
+            FROM e q CROSS JOIN seeds s
+            WHERE q.vec_id < $NQ)
+          WHERE prn <= $NProbe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, a.cell,
+                 round(${VectorOps.cosineFromNormsSql("p.q_vec", "a.embedding", "p.q_nrm", "a.nrm")}, 6) AS cos6
+          FROM assigned a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cell, cos6,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS rn
+          FROM scored)
+        SELECT q_id, rn, vec_id, cos6, cell FROM ranked
         WHERE rn <= $K
         ORDER BY q_id, rn""")),
   )

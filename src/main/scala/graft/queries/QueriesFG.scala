@@ -80,5 +80,27 @@ object QueriesG extends QueryPack {
         FROM per_sess
         GROUP BY user_id
         ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q71
+    // Deterministic batch equivalent of streaming.StreamOps.windowedCounts
+    // (tumbling 1h event-time windows + per-window distinct actors): the
+    // true watermark/streaming path runs in StreamOpsSpec over
+    // MemoryStream; this proves the window aggregates themselves against
+    // the oracle. Integer window arithmetic — exact in both engines.
+    QDef("q71_stream_windowed",
+      (s, dir) => {
+        t(s, dir, "events").withColumn("ts_ms", expr(tsMs))
+          .withColumn("w_start", expr("ts_ms DIV 3600000 * 3600000"))
+          .groupBy("event_type", "w_start")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("event_type", "w_start")
+      },
+      Some("""
+        SELECT event_type, epoch_ms(ts) // 3600000 * 3600000 AS w_start,
+               count(*) AS n, count(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, w_start""")),
   )
 }
