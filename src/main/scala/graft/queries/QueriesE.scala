@@ -137,5 +137,30 @@ object QueriesE extends QueryPack {
                ${rollingFingerprintSql("text")} % 64 AS bucket
         FROM documents
         ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q54
+    // Vocabulary building: corpus-wide token frequencies + document
+    // frequency, top 50 — the tokenizer-training precursor every
+    // training-data pipeline runs. One explode + one hash aggregation
+    // (partial agg map-side); at 100 TB this is the canonical word-count
+    // shuffle, linear in tokens.
+    QDef("q54_vocab",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("tf"),
+            countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("tok"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($wSql) AS tok FROM documents)
+        SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM toks
+        GROUP BY tok
+        ORDER BY tf DESC, tok
+        LIMIT 50""")),
   )
 }
