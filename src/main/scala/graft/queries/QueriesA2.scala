@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.geo.SyntheticGeo
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,6 +41,41 @@ object QueriesA2 extends QueryPack {
               FROM events GROUP BY 1)
         SELECT x.event_type AS event_type, approx_users, exact_users, n
         FROM x JOIN a USING (event_type)
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q11b
+    // Exact rank-based latency quantiles per task type (UBDCTask
+    // seconds_to_complete reporting): percentile_disc semantics — value at
+    // rank ceil(p*n) under a total (value, event_id) order — is pure
+    // integer rank math, so it hash-matches across engines where
+    // interpolating quantile implementations would not. One window + one
+    // aggregation, single shuffle on the group key.
+    QDef("q11b_latency_quantiles",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(expr("rn = (n * 50 + 99) DIV 100"), col("value"))).as("p50"),
+            max(when(expr("rn = (n * 95 + 99) DIV 100"), col("value"))).as("p95"),
+            max(when(expr("rn = (n * 99 + 99) DIV 100"), col("value"))).as("p99"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value, event_id,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+               max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+        FROM r
+        GROUP BY event_type
         ORDER BY event_type""")),
 
     // ---------------------------------------------------------------- q18

@@ -27,4 +27,23 @@ class EquivalenceSpec extends SparkSpec {
     assert(overlapping.nonEmpty)
     assert(overlapping.forall { case (k, c) => brute(k) == c })
   }
+
+  test("every IVF-ANN neighbor (q42) carries the exact cosine the brute-force scan (q40) computes") {
+    val brute = SparkEntry.queries("q40_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = SparkEntry.queries("q42_knn_ivf")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    val overlapping = ivf.filter { case (k, _) => brute.contains(k) }
+    assert(overlapping.nonEmpty)
+    assert(overlapping.forall { case (k, c) => brute(k) == c })
+  }
+
+  test("interval union (q28): covered extent bounded by span and by raw interval sum") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q28_interval_union")(spark, dir)
+    val bad = df.filter(col("covered_ms") > col("span_ms") ||
+      col("covered_ms") <= 0 || col("n_islands") <= 0).count()
+    assert(df.count() > 0 && bad == 0)
+  }
 }
