@@ -36,8 +36,12 @@ object Components {
       val s = c.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
       (c, s)
     }
+    // seed at min(self, neighbors): one aggregation over the (already
+    // bidirectional) edge list — the same work as the distinct-ids init
+    // but starting one propagation round ahead; identical fixpoint.
     var (labels, prevSum) = materialize(
-      und.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+      und.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {

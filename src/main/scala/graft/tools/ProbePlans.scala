@@ -11,7 +11,9 @@ object ProbePlans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_pricing_summary", "q03_join_agg_sort", "q12_stale_scan",
-      "q16_semi_anti", "q20_point_in_bbox_join", "q40_knn_brute")
+      "q16_semi_anti", "q20_point_in_bbox_join", "q40_knn_brute",
+      "q17_approx_distinct", "q22_grid_subdivide", "q28_interval_union",
+      "q42_knn_ivf", "q54_vocab", "q71_stream_windowed")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       df.collect() // let AQE finalize
