@@ -18,12 +18,20 @@ import org.apache.spark.sql.types.LongType
   * not required (see `fast` below).
   */
 object PortableHash {
+  /** Hash profile: "portable" (default — md5-based, DuckDB-matchable)
+    * or "fast" (xxhash64 — the 100 TB production profile, NOT oracle-
+    * matchable). Switched via SPARK_GRAFT_HASH=fast for profiling the
+    * md5-portability tax; the driver's verify/bench never set it, so
+    * every shipped number stays oracle-faithful. */
+  val profile: String = sys.env.getOrElse("SPARK_GRAFT_HASH", "portable")
+
   /** Salted portable 60-bit hash of a string column. Native
     * [[graft.expressions.Md5Long]] — one md5 over the raw bytes, first
     * 60 bits assembled directly (no hex string, no base-16 parse). The
     * dedup/LSH/HLL family calls this per shingle/word, so the composed
     * form's string round-trip dominated those queries' runtime. */
   def md5Long(c: Column, salt: String = ""): Column = {
+    if (profile == "fast") return fast(c, salt)
     val in = if (salt.isEmpty) c else concat(lit(salt), c)
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.Md5Long(

@@ -32,6 +32,18 @@ class Md5LongSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("default hash profile is the portable md5 (oracle-matchable)") {
+    assert(PortableHash.profile == "portable" ||
+      sys.env.get("SPARK_GRAFT_HASH").contains(PortableHash.profile))
+    if (PortableHash.profile == "portable") {
+      val h = spark.range(1)
+        .select(PortableHash.md5Long(org.apache.spark.sql.functions.lit("hello")))
+        .head.getLong(0)
+      // known value: first 15 hex chars of md5('hello') = 5d41402abc4b2a7
+      assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    }
+  }
+
   test("values are non-negative 60-bit") {
     import spark.implicits._
     val mm = (1 to 5000).map(i => s"v$i").toDF("s")
