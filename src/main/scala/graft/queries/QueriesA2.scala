@@ -78,6 +78,41 @@ object QueriesA2 extends QueryPack {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---------------------------------------------------------------- q29
+    // Calendar expansion (per-listing calendar harvest, operations/
+    // calendars.py): each order expands to its 7-day availability window
+    // — generate-series explode on integer epoch-days (exact in both
+    // engines) — then a daily load curve. The fan-out is a cheap
+    // generator (constant-range sequence), linear in rows × window.
+    QDef("q29_calendar_expand",
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000").as("day0"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("day0"),
+            explode(sequence(lit(0), lit(6))).as("i"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("day0") + col("i")).as("day"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            dec38(sum(dec(col("o_totalprice")))).as("sum_price"))
+          .orderBy("day")
+          .limit(60)
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT o_orderkey, o_totalprice,
+                 epoch_ms(o_orderdate) // 86400000 + i.i AS day
+          FROM orders, unnest(range(0, 7)) AS i(i))
+        SELECT day, count(*) AS n_active,
+               count(DISTINCT o_orderkey) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS $decSql)) AS $dec38Sql) AS sum_price
+        FROM d
+        GROUP BY day
+        ORDER BY day
+        LIMIT 60""")),
+
     // ---------------------------------------------------------------- q18
     // Hierarchical subtotals: ROLLUP(returnflag, linestatus) — one pass,
     // partial-aggregated; the reporting "totals row" surface.
