@@ -162,5 +162,37 @@ object QueriesE extends QueryPack {
         GROUP BY tok
         ORDER BY tf DESC, tok
         LIMIT 50""")),
+
+    // ---------------------------------------------------------------- q55
+    // Deterministic train/val/test split + stratum stats: assignment by
+    // portable-hash range (80/10/10) is reproducible across runs,
+    // engines and cluster sizes — no RNG, no sampling-order dependence.
+    // The canonical training-data split: one narrow map + one
+    // aggregation, no shuffle beyond the final rollup.
+    QDef("q55_hash_split",
+      (s, dir) => {
+        val h = graft.functions.PortableHash.md5Long(col("doc_id"), salt = "split~") % 100
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang, doc_id, n_chars,
+                 ${graft.functions.PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)", salt = "split~")} % 100 AS h
+          FROM documents)
+        SELECT lang,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM d
+        GROUP BY 1, 2
+        ORDER BY lang, split""")),
   )
 }
