@@ -59,6 +59,15 @@ object VectorOps {
   def cosineFromNormsSql(a: String, b: String, normA: String, normB: String): String =
     s"${dotSql(a, b)} / ($normA * $normB)"
 
+  /** OUTPUT form: cosine rounded to 6 dp with IEEE signed zero
+    * normalized (+ 0.0 maps -0.0 → +0.0, identity elsewhere). A cosine
+    * in (-5e-7, 0) rounds to -0.0 on DuckDB's FP round but +0.0 through
+    * Spark's BigDecimal round — repr-level hash mismatch without this. */
+  def cosine6Out(a: String, b: String, normA: String, normB: String): Column =
+    round(cosineFromNorms(a, b, normA, normB), 6) + lit(0.0)
+  def cosine6OutSql(a: String, b: String, normA: String, normB: String): String =
+    s"(round(${cosineFromNormsSql(a, b, normA, normB)}, 6) + 0.0)"
+
   /** Deterministic pseudo-random hyperplane j over dim dims: integer
     * weights in [-10, 10] from pure key arithmetic — identical literals
     * are emitted into both engines' plans. */

@@ -252,7 +252,7 @@ object QueriesC extends QueryPack {
         val b = e.select(col("bucket"), col("vec_id").as("id_b"),
           col("embedding").as("v_b"), col("nrm").as("n_b"))
         a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-          .withColumn("cos6", round(VectorOps.cosineFromNorms("v_a", "v_b", "n_a", "n_b"), 6))
+          .withColumn("cos6", VectorOps.cosine6Out("v_a", "v_b", "n_a", "n_b"))
           .select("bucket", "id_a", "id_b", "cos6")
           .orderBy(col("cos6").desc, col("id_a"), col("id_b"))
           .limit(20)
@@ -264,7 +264,7 @@ object QueriesC extends QueryPack {
                  ${VectorOps.normSql("embedding")} AS nrm
           FROM embeddings)
         SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${VectorOps.cosineFromNormsSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")}, 6) AS cos6
+               ${VectorOps.cosine6OutSql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS cos6
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         ORDER BY cos6 DESC, id_a, id_b
         LIMIT 20""")),

@@ -33,7 +33,7 @@ object QueriesD extends QueryPack {
         val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
+          .withColumn("cos6", VectorOps.cosine6Out("q_vec", "embedding", "q_nrm", "nrm"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "vec_id", "cos6")
@@ -45,7 +45,7 @@ object QueriesD extends QueryPack {
         q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id < $NQ),
         scored AS (
           SELECT q.q_id, e.vec_id,
-                 round(${VectorOps.cosineFromNormsSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")}, 6) AS cos6
+                 ${VectorOps.cosine6OutSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")} AS cos6
           FROM e CROSS JOIN q
           WHERE e.vec_id <> q.q_id),
         ranked AS (
@@ -74,7 +74,7 @@ object QueriesD extends QueryPack {
         val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
         e.join(broadcast(q), "bucket")
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
+          .withColumn("cos6", VectorOps.cosine6Out("q_vec", "embedding", "q_nrm", "nrm"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "vec_id", "cos6", "bucket")
@@ -90,7 +90,7 @@ object QueriesD extends QueryPack {
               FROM e WHERE vec_id < $NQ),
         scored AS (
           SELECT q.q_id, e.vec_id, e.bucket,
-                 round(${VectorOps.cosineFromNormsSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")}, 6) AS cos6
+                 ${VectorOps.cosine6OutSql("q.q_vec", "e.embedding", "q.q_nrm", "e.nrm")} AS cos6
           FROM e JOIN q ON e.bucket = q.bucket
           WHERE e.vec_id <> q.q_id),
         ranked AS (
@@ -132,7 +132,7 @@ object QueriesD extends QueryPack {
         val wTop = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
         assigned.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos6", round(VectorOps.cosineFromNorms("q_vec", "embedding", "q_nrm", "nrm"), 6))
+          .withColumn("cos6", VectorOps.cosine6Out("q_vec", "embedding", "q_nrm", "nrm"))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "vec_id", "cos6", "cell")
@@ -162,7 +162,7 @@ object QueriesD extends QueryPack {
           WHERE prn <= $NProbe),
         scored AS (
           SELECT p.q_id, a.vec_id, a.cell,
-                 round(${VectorOps.cosineFromNormsSql("p.q_vec", "a.embedding", "p.q_nrm", "a.nrm")}, 6) AS cos6
+                 ${VectorOps.cosine6OutSql("p.q_vec", "a.embedding", "p.q_nrm", "a.nrm")} AS cos6
           FROM assigned a JOIN probes p ON a.cell = p.cell
           WHERE a.vec_id <> p.q_id),
         ranked AS (
