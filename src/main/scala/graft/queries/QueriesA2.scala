@@ -113,6 +113,41 @@ object QueriesA2 extends QueryPack {
         ORDER BY day
         LIMIT 60""")),
 
+    // ---------------------------------------------------------------- q72
+    // Skew-mitigation transparency proof: the hot-key aggregation runs
+    // through SkewTools.saltedCount (two-phase partial agg over a
+    // deterministic salt) and the dim join through SkewTools.saltedJoin
+    // (salt-replicated build side) — while the ORACLE is the PLAIN
+    // unsalted SQL. A hash-match proves salting changes the shuffle
+    // layout only, never the result. events.event_type is genuinely hot:
+    // 5 keys over the whole fact table.
+    QDef("q72_salted_hot_key",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val counts = graft.operators.SkewTools.saltedCount(ev, "event_type", nSalts = 16)
+        val dim = ev.select("event_type").distinct()
+          .withColumn("w", length(col("event_type")))
+        val joined = graft.operators.SkewTools
+          .saltedJoin(ev.select("event_type", "value"), dim, "event_type", nSalts = 8)
+          .groupBy("event_type")
+          .agg(dec38(sum(dec(col("value")))).as("sum_value"),
+            sum(col("w")).cast("bigint").as("sum_w"))
+        counts.join(joined, Seq("event_type"))
+          .select("event_type", "n", "sum_value", "sum_w")
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        d AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events),
+        j AS (SELECT e.event_type,
+                     CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS sum_value,
+                     CAST(sum(d.w) AS BIGINT) AS sum_w
+              FROM events e JOIN d ON e.event_type = d.event_type
+              GROUP BY 1)
+        SELECT c.event_type, n, sum_value, sum_w
+        FROM c JOIN j ON c.event_type = j.event_type
+        ORDER BY c.event_type""")),
+
     // ---------------------------------------------------------------- q18
     // Hierarchical subtotals: ROLLUP(returnflag, linestatus) — one pass,
     // partial-aggregated; the reporting "totals row" surface.
