@@ -163,6 +163,41 @@ object QueriesE extends QueryPack {
         ORDER BY tf DESC, tok
         LIMIT 50""")),
 
+    // ---------------------------------------------------------------- q57
+    // Bigram LM statistics: corpus bigram counts + conditional
+    // probability p(w2|w1) in exact integer basis points, top 30. The
+    // unigram totals come from the bigram table itself (sum over w2) —
+    // one positions-explode over the corpus, two aggregations, no second
+    // scan. n-gram model stats are the standard corpus-analysis step
+    // after q54's vocabulary.
+    QDef("q57_bigram_lm",
+      (s, dir) => {
+        val ex = t(s, dir, "documents")
+          .withColumn("w", words(col("text")))
+          .filter(size(col("w")) >= 2)
+          .select(col("w"), explode(sequence(lit(0), size(col("w")) - 2)).as("i"))
+          .select(expr("w[i]").as("w1"), expr("w[i+1]").as("w2"))
+        val big = ex.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val uni = big.groupBy("w1").agg(sum("c2").cast("bigint").as("c1"))
+        big.join(uni, "w1")
+          .select(col("w1"), col("w2"), col("c2"), col("c1"),
+            expr("c2 * 10000 DIV c1").as("p_bp"))
+          .orderBy(col("c2").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some(s"""
+        WITH d AS (SELECT $wSql AS w FROM documents),
+        ex AS (SELECT w[i] AS w1, w[i + 1] AS w2
+               FROM d, unnest(range(1, len(w))) AS t(i)
+               WHERE len(w) >= 2),
+        big AS (SELECT w1, w2, count(*) AS c2 FROM ex GROUP BY 1, 2),
+        uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY 1)
+        SELECT b.w1 AS w1, b.w2 AS w2, c2, c1,
+               CAST(c2 * 10000 // c1 AS BIGINT) AS p_bp
+        FROM big b JOIN uni u ON b.w1 = u.w1
+        ORDER BY c2 DESC, w1, w2
+        LIMIT 30""")),
+
     // ---------------------------------------------------------------- q55
     // Deterministic train/val/test split + stratum stats: assignment by
     // portable-hash range (80/10/10) is reproducible across runs,
