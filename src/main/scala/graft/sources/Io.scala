@@ -52,4 +52,28 @@ object Io {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** JSONL (one JSON object per line) sink — the interchange format of
+    * training-data pipelines. gzip-compressed splittable-enough shards
+    * sized by `nParts`; schema rides in every record, so downstream
+    * tooling needs no sidecar. */
+  def writeJsonl(df: DataFrame, path: String, nParts: Int): Unit =
+    df.repartition(nParts)
+      .write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(path)
+
+  /** JSONL source with an explicit schema: never infer on a 100 TB corpus
+    * (inference is a full extra scan and makes the schema data-dependent).
+    * Corrupt lines are quarantined to `_corrupt` instead of failing the
+    * job (PERMISSIVE) — count them, alert, keep going. Note: Spark
+    * disallows queries that reference ONLY the corrupt column on a raw
+    * JSON scan — cache or persist the parsed frame first. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
 }
