@@ -26,10 +26,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Right-size the forked-run heap. SPARK_DRIVER_MEM may offer the whole
+// box (~90g on a 128g host), but a huge heap actively HURTS this
+// workload: G1 spreads allocation across fresh regions, so allocation-
+// heavy queries (dedup explode + collect_set churn) page-fault through
+// tens of GB of never-touched 4K pages. Measured on q33 at sf0.1:
+// 2.3s @ 8g heap, 74s @ 90g, 91s @ -Xms90g, minutes with THP-madvise
+// (synchronous hugepage compaction). sf0.1 runs peak well under 8g, so
+// cap at 16g and pre-touch at startup — the same right-sizing you'd
+// apply to executor heaps on a real cluster (many modest executors beat
+// one giant heap for shuffle-heavy work).
+val graftHeapGb: Int = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  def num(s: String): Option[Int] = scala.util.Try(s.toInt).toOption
+  val gb =
+    if (req.endsWith("m")) num(req.stripSuffix("m")).map(m => (m + 1023) / 1024)
+    else num(req.stripSuffix("g"))
+  math.max(4, math.min(gb.getOrElse(8), 16))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${graftHeapGb}g",
+  s"-Xmx${graftHeapGb}g",
+  "-XX:+AlwaysPreTouch",
   // dozens of whole-stage-codegen'd queries in one JVM overflow the
   // default 240m code cache; once full the JIT stops compiling and
   // trig-heavy plans run interpreted (observed 10-20x slowdowns)

@@ -10,7 +10,11 @@ object Bench {
     // warm the JVM + parquet footers once so per-query numbers measure the
     // plan, not first-touch classloading.
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (regex on query name); driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.map { case (name, fn) =>
       // min of N runs (cache cleared between them): run 1 absorbs
       // codegen/JIT compile; the min filters transient host throttling,
       // which swings identical binaries by 4-10x on this box. Every run
