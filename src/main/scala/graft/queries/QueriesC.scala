@@ -23,7 +23,7 @@ object QueriesC extends QueryPack {
     * (collect_set dedups) and the 6 minhash mins. Cached: referenced by
     * the band pipeline and both jaccard sides — at 100 TB this is the
     * persisted signature table. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame = {
     val exploded = t(s, dir, "documents")
       .withColumn("w", TextFunctions.words(col("text")))
       .filter(size(col("w")) >= 3)
@@ -44,7 +44,7 @@ object QueriesC extends QueryPack {
     sigTable
   }
 
-  private val shingledSql =
+  private[queries] val shingledSql =
     s"""SELECT doc_id, list_distinct(${Dedup.shingleHashesSql("sh0")}) AS sh FROM (
           SELECT doc_id, list_distinct(${TextFunctions.wordNgramsSql("w", 3)}) AS sh0
           FROM (SELECT doc_id, $wSql AS w FROM documents))
@@ -52,7 +52,7 @@ object QueriesC extends QueryPack {
 
   /** q31's band/bucket candidate-pair chain as standalone WITH-SQL
     * (shared by q31 and the q35 clustering oracle). */
-  private val candidatePairsSql: String = {
+  private[queries] val candidatePairsSql: String = {
     val sig = Dedup.minhashSigSql("sh", 6)
     val bandSelects = (0 until 3).map { j =>
       val key = s"concat_ws('|', CAST(sig[${2 * j + 1}] AS VARCHAR), CAST(sig[${2 * j + 2}] AS VARCHAR))"

@@ -80,4 +80,16 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming dedup with watermark-bounded state: keeps the FIRST row
+    * seen per `keyCols` and drops later duplicates, holding keys only
+    * until the watermark passes them (state is O(keys inside the
+    * watermark horizon), never O(stream)). The streaming form of q73's
+    * per-window duplicate accounting; batch-equivalently
+    * `dropDuplicates(keyCols)` restricted to the horizon. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

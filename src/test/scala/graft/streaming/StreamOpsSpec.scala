@@ -54,4 +54,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(out == Map("a" -> 3L, "b" -> 1L))
     } finally query.stop()
   }
+
+  test("dedupWithinWatermark keeps first row per key, bounded by the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = StreamOps.dedupWithinWatermark(df, "ts", "10 minutes",
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      // duplicates of (1, a) within the horizon are dropped; (2, b) kept
+      input.addData((t(1), 1L, "a", 1.0), (t(2), 1L, "a", 2.0), (t(3), 2L, "b", 3.0))
+      query.processAllAvailable()
+      // push the watermark past the horizon, then re-emit (1, a): state
+      // was expired, so the key is accepted again
+      input.addData((t(30), 9L, "z", 0.0))
+      query.processAllAvailable()
+      input.addData((t(31), 1L, "a", 9.0))
+      query.processAllAvailable()
+
+      val out = spark.table("dd").selectExpr("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(out.count(r => r._1 == 1L && r._2 == "a") == 2) // first + post-expiry
+      assert(out.contains((1L, "a", 1.0)) && !out.contains((1L, "a", 2.0)))
+      assert(out.contains((2L, "b", 3.0)))
+    } finally query.stop()
+  }
 }
