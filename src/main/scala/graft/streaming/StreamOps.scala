@@ -92,4 +92,19 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join: rows of `left` pair with rows of
+    * `right` for the same `keyCol` with right.ts in [left.ts, left.ts +
+    * horizonMs]. Both sides carry watermarks so the join state is purged
+    * once the watermark passes the horizon — state is O(horizon), never
+    * O(stream). Batch-equivalent: q74's bucket equi-join + refilter. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, watermark: String, horizonMs: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonMs MILLISECONDS"))
+  }
 }

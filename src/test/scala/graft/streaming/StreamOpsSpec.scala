@@ -85,4 +85,36 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.contains((2L, "b", 3.0)))
     } finally query.stop()
   }
+
+  test("intervalJoin pairs right rows within the horizon after the left row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val left = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val right = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = StreamOps.intervalJoin(
+        left.toDF().toDF("ts", "user_id", "tag"),
+        right.toDF().toDF("ts", "user_id", "tag"),
+        keyCol = "user_id", tsCol = "ts", watermark = "10 minutes",
+        horizonMs = 60000L)
+      .selectExpr("l.tag AS ltag", "r.tag AS rtag")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+      left.addData((t(10), 1L, "c1"), (t(100), 1L, "c2"), (t(10), 2L, "c3"))
+      // r1 within 60s of c1; r2 within 60s of c2; r3 before any left row;
+      // r4 right user, 70s after c1 (outside horizon)
+      right.addData((t(30), 1L, "r1"), (t(130), 1L, "r2"), (t(5), 2L, "r3"), (t(80), 1L, "r4"))
+      query.processAllAvailable()
+      // advance both watermarks so results flush in Append mode
+      left.addData((t(3000), 9L, "wm"))
+      right.addData((t(3000), 8L, "wm"))
+      query.processAllAvailable()
+
+      val out = spark.table("ij").as[(String, String)].collect().toSet
+      assert(out == Set(("c1", "r1"), ("c2", "r2")))
+    } finally query.stop()
+  }
 }
