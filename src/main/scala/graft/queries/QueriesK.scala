@@ -143,8 +143,11 @@ object QueriesK extends QueryPack {
         val wLag = Window.orderBy("stage")
         all
           .withColumn("prev", lag(col("n_users"), 1).over(wLag))
+          // prev = 0 only on an empty stage (possible on empty partitions
+          // at scale): define conversion-out-of-nothing as 100%
           .withColumn("conv_bp",
-            coalesce(expr("n_users * 10000 DIV prev"), lit(10000L)))
+            expr("CASE WHEN prev IS NULL OR prev = 0 THEN 10000 " +
+              "ELSE n_users * 10000 DIV prev END"))
           .drop("prev")
           .orderBy("stage")
       },
@@ -160,9 +163,9 @@ object QueriesK extends QueryPack {
           UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
           UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p)
         SELECT CAST(stage AS BIGINT) AS stage, name, CAST(n_users AS BIGINT) AS n_users,
-               CAST(coalesce(n_users * 10000 // lag(n_users) OVER (ORDER BY stage), 10000)
-                 AS BIGINT) AS conv_bp
-        FROM stages
+               CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 10000
+                    ELSE n_users * 10000 // prev END AS BIGINT) AS conv_bp
+        FROM (SELECT *, lag(n_users) OVER (ORDER BY stage) AS prev FROM stages)
         ORDER BY stage""")),
 
     // ---------------------------------------------------------------- q94
