@@ -43,12 +43,14 @@ object MediaPipeline {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 
-  /** Batch feature extraction: one decoder pass per partition. */
+  /** Batch feature extraction: one decoder pass per partition. Null
+    * payloads (failed fetch / corrupt blob — routine at ingest scale) are
+    * quarantined: dropped here, never decoded. */
   def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     rows.mapPartitions { it =>
       // per-partition decoder init would go here (codec context, model)
-      it.map { r =>
+      it.filter(_.media != null).map { r =>
         val (w, h, f) = decodeStub(r.doc_id, r.media)
         MediaFeatures(r.doc_id, r.source, r.media.length,
           hex(r.media.take(4)), w, h, f, checksum(r.media))
@@ -68,7 +70,7 @@ object MediaPipeline {
   def sampleFrames(rows: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
     implicit val enc = Encoders.product[FrameRow]
     rows.mapPartitions { it =>
-      it.flatMap { r =>
+      it.filter(_.media != null).flatMap { r =>
         val (w, h, nFrames) = decodeStub(r.doc_id, r.media)
         (0 until nFrames by everyN).iterator.map { idx =>
           // stub frame content: payload rotated by the frame index

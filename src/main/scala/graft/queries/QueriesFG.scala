@@ -30,6 +30,7 @@ object QueriesF extends QueryPack {
                CAST(1 + doc_id % 24 AS INT) AS n_frames,
                ${TextFunctions.rollingFingerprintSql("text")} AS checksum
         FROM documents
+        WHERE text IS NOT NULL
         ORDER BY doc_id""")),
   )
 }

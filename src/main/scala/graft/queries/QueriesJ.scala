@@ -45,7 +45,7 @@ object QueriesJ extends QueryPack {
                  CAST(16 + (doc_id * 37) % 1008 AS INT) AS width,
                  CAST(16 + (doc_id * 53) % 752 AS INT) AS height,
                  1 + doc_id % 24 AS n_frames
-          FROM documents WHERE doc_id < 40),
+          FROM documents WHERE doc_id < 40 AND text IS NOT NULL),
         frames AS (
           SELECT doc_id, width, height, CAST(i AS INT) AS frame_idx,
                  CASE WHEN length(text) = 0 THEN ''
@@ -82,7 +82,7 @@ object QueriesJ extends QueryPack {
           SELECT doc_id,
                  CAST(16 + (doc_id * 37) % 1008 AS INT) AS width,
                  CAST(16 + (doc_id * 53) % 752 AS INT) AS height
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         r AS (
           SELECT doc_id, width, height, greatest(width, height) AS ls
           FROM dims)
