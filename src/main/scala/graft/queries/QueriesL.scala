@@ -84,6 +84,50 @@ object QueriesL extends QueryPack {
         FROM deg
         GROUP BY 1
         ORDER BY degree"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- q64
+    // URL query-parameter parsing (reference: convenience.py:4
+    // query_params_from_url, feeding the pagination-offset math of
+    // workunits.py:14): pagination URLs are CONSTRUCTED from events, then
+    // params are parsed back from the string and aggregated — the same
+    // construct→parse roundtrip proof shape as q09b. Row-local string
+    // ops: full scan, one tiny shuffle on the parsed session key.
+    QDef("q64_url_params",
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("url", expr(
+            "concat('https://api.example.com/v2/search?offset=', " +
+              "(event_id % 50) * 20, '&limit=20&session=', user_id % 100)"))
+          .withColumn("qs", expr("substring_index(url, '?', -1)"))
+          .withColumn("m", expr("str_to_map(qs, '&', '=')"))
+          .select(expr("CAST(m['session'] AS BIGINT)").as("session"),
+            expr("CAST(m['offset'] AS BIGINT)").as("off"),
+            expr("CAST(m['limit'] AS BIGINT)").as("lim"))
+          .groupBy("session")
+          .agg(count(lit(1)).as("n"),
+            max(col("off")).as("max_offset"),
+            countDistinct(col("off")).as("n_offsets"),
+            max(col("lim")).as("lim"))
+          .orderBy("session")
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'https://api.example.com/v2/search?offset=' || (event_id % 50) * 20
+                 || '&limit=20&session=' || (user_id % 100) AS url
+          FROM events),
+        parsed AS (
+          SELECT CAST(split_part(list_filter(string_split(split_part(url, '?', 2), '&'),
+                   x -> starts_with(x, 'session='))[1], '=', 2) AS BIGINT) AS session,
+                 CAST(split_part(list_filter(string_split(split_part(url, '?', 2), '&'),
+                   x -> starts_with(x, 'offset='))[1], '=', 2) AS BIGINT) AS off,
+                 CAST(split_part(list_filter(string_split(split_part(url, '?', 2), '&'),
+                   x -> starts_with(x, 'limit='))[1], '=', 2) AS BIGINT) AS lim
+          FROM u)
+        SELECT session, count(*) AS n, max(off) AS max_offset,
+               CAST(count(DISTINCT off) AS BIGINT) AS n_offsets, max(lim) AS lim
+        FROM parsed
+        GROUP BY 1
+        ORDER BY session"""))
   )
 }
