@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.functions.VectorOps
+import graft.functions.{PortableHash, TextFunctions, VectorOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -134,6 +134,66 @@ object QueriesM extends QueryPack {
                CAST(n_stable AS BIGINT) AS n_stable,
                round(CAST(sim_sum AS DOUBLE) / n_iter1, 6) AS mean_sim6
         FROM moved m LEFT JOIN after a ON m.cell = a.cell
-        ORDER BY cell"""))
+        ORDER BY cell""")),
+
+    // ---------------------------------------------------------------- q96
+    // Count-Min sketch heavy hitters: d=3 hash rows × w=64 buckets of
+    // BIGINT counts — like the portable HLL (q17), a DETERMINISTIC sketch
+    // both engines compute bit-identically. Cells are plain sums →
+    // map-side combinable; the whole sketch is 192 longs regardless of
+    // corpus size; estimates are min-over-rows with the classic
+    // one-sided (over-)estimate guarantee, reported against the exact
+    // counts for the true top 15 tokens.
+    QDef("q96_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextFunctions.words(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .cache()
+        toks.count() // eager: exact side + 3 sketch rows in one job
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(15)
+        def bucketOf(row: Int, tokCol: String) =
+          pmod(PortableHash.md5Long(col(tokCol), salt = s"cms$row~"), lit(64L))
+        val cells = (0 until 3).map { r =>
+          toks.groupBy(bucketOf(r, "tok").as("bucket"))
+            .agg(count(lit(1)).as("c")).withColumn("row", lit(r))
+        }.reduce(_ unionByName _)
+        val est = (0 until 3).map { r =>
+          top.withColumn("row", lit(r)).withColumn("bucket", bucketOf(r, "tok"))
+        }.reduce(_ unionByName _)
+          .join(cells, Seq("row", "bucket"))
+          .groupBy("tok", "exact_n")
+          .agg(min(col("c")).cast("bigint").as("cms_n"))
+        est.select(col("tok"), col("exact_n"), col("cms_n"),
+            (col("cms_n") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("tok"))
+      },
+      Some {
+        val wSql = TextFunctions.wordsSql("text")
+        def bSql(r: Int) = s"${PortableHash.md5LongSql("tok", salt = s"cms$r~")} % 64"
+        val cellSelects = (0 until 3).map(r =>
+          s"SELECT $r AS row, ${bSql(r)} AS bucket, count(*) AS c FROM toks GROUP BY 1, 2")
+          .mkString(" UNION ALL ")
+        val probeSelects = (0 until 3).map(r =>
+          s"SELECT tok, exact_n, $r AS row, ${bSql(r)} AS bucket FROM top")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH toks AS (
+          SELECT tok FROM (SELECT unnest($wSql) AS tok FROM documents)
+          WHERE length(tok) > 0),
+        exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1),
+        top AS (SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 15),
+        cells AS ($cellSelects),
+        probes AS ($probeSelects),
+        est AS (
+          SELECT p.tok, p.exact_n, min(c.c) AS cms_n
+          FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+          GROUP BY 1, 2)
+        SELECT tok, CAST(exact_n AS BIGINT) AS exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+               CAST(cms_n - exact_n AS BIGINT) AS overcount
+        FROM est
+        ORDER BY exact_n DESC, tok"""
+      })
   )
 }

@@ -24,4 +24,20 @@ class QueriesMSpec extends SparkSpec {
     val stay = rows.map(_.getAs[Long]("n_stable")).sum
     assert(stay * 10 >= nVecs * 5, s"only $stay/$nVecs stable after one Lloyd step")
   }
+
+  test("q96 CMS: one-sided estimate, exact recovery for dominant tokens") {
+    val rows = SparkEntry.queries("q96_cms_heavy_hitters")(spark, dir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      // the count-min guarantee: never an underestimate
+      assert(r.getAs[Long]("overcount") >= 0)
+      assert(r.getAs[Long]("cms_n") ==
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overcount"))
+    }
+    // with ~30 distinct tokens over 3x64 cells, estimates stay close:
+    // total overcount is bounded well under the total mass
+    val totalExact = rows.map(_.getAs[Long]("exact_n")).sum
+    val totalOver = rows.map(_.getAs[Long]("overcount")).sum
+    assert(totalOver < totalExact, s"overcount $totalOver vs exact $totalExact")
+  }
 }
