@@ -68,6 +68,19 @@ object VectorOps {
   def cosine6OutSql(a: String, b: String, normA: String, normB: String): String =
     s"(round(${cosineFromNormsSql(a, b, normA, normB)}, 6) + 0.0)"
 
+  /** Σ (a[i]-b[i])² over the length-n subvector at 0-based offset off —
+    * the product-quantization subspace distance. Same left-to-right fold
+    * as [[dotComposed]]; both engines see identical doubles. */
+  def sliceD2(a: String, b: String, off: Int, n: Int): Column =
+    expr(s"aggregate(zip_with(slice($a, ${off + 1}, $n), slice($b, ${off + 1}, $n), " +
+      "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  def sliceD2Sql(a: String, b: String, off: Int, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+      s"list_zip($a[${off + 1}:${off + n}], $b[${off + 1}:${off + n}]), " +
+      s"t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)))), " +
+      s"(acc, v) -> acc + v)"
+
   /** Deterministic pseudo-random hyperplane j over dim dims: integer
     * weights in [-10, 10] from pure key arithmetic — identical literals
     * are emitted into both engines' plans. */
