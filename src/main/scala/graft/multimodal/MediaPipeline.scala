@@ -97,4 +97,21 @@ object MediaPipeline {
       (w2, h2)
     }
   }
+
+  /** Per-payload byte histogram (the feature-extraction stage: a real
+    * pipeline would emit embedding/classifier features here; the byte
+    * distribution is the deterministic stand-in with identical plumbing). */
+  final case class HistRow(doc_id: Long, source: String, bins: Seq[Long])
+
+  def byteHistogram(rows: Dataset[MediaRow], nBins: Int): Dataset[HistRow] = {
+    implicit val enc = Encoders.product[HistRow]
+    rows.mapPartitions { it =>
+      // per-partition extractor init would go here
+      it.filter(_.media != null).map { r =>
+        val bins = new Array[Long](nBins)
+        r.media.foreach(b => bins((b & 0xff) % nBins) += 1)
+        HistRow(r.doc_id, r.source, bins.toSeq)
+      }
+    }
+  }
 }

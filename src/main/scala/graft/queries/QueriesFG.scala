@@ -32,6 +32,33 @@ object QueriesF extends QueryPack {
         FROM documents
         WHERE text IS NOT NULL
         ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q63
+    // Feature extraction through the REAL mapPartitions batch path: each
+    // payload → 16-bin byte histogram (the deterministic stand-in for an
+    // embedding/classifier head), aggregated per source. The oracle
+    // recomputes the same bins from the ASCII codepoints in SQL.
+    QDef("q63_feature_extract",
+      (s, dir) => {
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
+          .as(Encoders.product[MediaPipeline.MediaRow])
+        MediaPipeline.byteHistogram(rows, nBins = 16).toDF()
+          .select(col("source"), posexplode(col("bins")).as(Seq("bin", "cnt")))
+          .groupBy("source", "bin")
+          .agg(sum("cnt").cast("bigint").as("n_bytes"))
+          .filter(col("n_bytes") > 0)
+          .orderBy("source", "bin")
+      },
+      Some("""
+        WITH chars AS (
+          SELECT source,
+                 unnest(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, i, 1)) % 16)) AS bin
+          FROM documents WHERE text IS NOT NULL)
+        SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_bytes
+        FROM chars GROUP BY 1, 2
+        ORDER BY source, bin"""))
   )
 }
 

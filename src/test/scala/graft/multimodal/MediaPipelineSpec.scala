@@ -43,6 +43,22 @@ class MediaPipelineSpec extends SparkSpec {
     assert(frames.map(_.frame_checksum).distinct.length == frames.length)
   }
 
+  test("byteHistogram: bins sum to payload length, nulls quarantined") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "s1", "abcabc!"), (2L, "s2", null))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("media"))
+      .as(Encoders.product[MediaRow])
+    val out = MediaPipeline.byteHistogram(rows, nBins = 16).collect()
+    assert(out.length == 1, "null payload must be quarantined, not decoded")
+    val h = out.head
+    assert(h.bins.length == 16)
+    assert(h.bins.sum == "abcabc!".length)
+    // 'a'=97 → bin 1, 'b'=98 → bin 2, 'c'=99 → bin 3, '!'=33 → bin 1
+    assert(h.bins(1) == 3 && h.bins(2) == 2 && h.bins(3) == 2)
+  }
+
   test("resizeDims preserves aspect and never upscales") {
     assert(MediaPipeline.resizeDims(1000, 500, 200) == ((200, 100)))
     assert(MediaPipeline.resizeDims(500, 1000, 200) == ((100, 200)))
