@@ -37,11 +37,16 @@ object QueriesQ extends QueryPack {
         }
         val stacked = withD.selectExpr("vec_id", "cb_id",
           s"stack($M, ${(0 until M).map(m => s"$m, d$m").mkString(", ")}) AS (m, d2)")
-        val wMin = Window.partitionBy("vec_id", "m").orderBy(round(col("d2"), 6), col("cb_id"))
-        val assigned = stacked.withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+        // argmin per (vec, subspace) as a lexicographic struct-min: a hash
+        // aggregate with map-side combine (the row_number-window form would
+        // sort-shuffle all n·M·16 candidate rows). Same total order as the
+        // oracle's ORDER BY round(d2,6), cb_id — cb_id breaks ties.
+        val assigned = stacked.groupBy("vec_id", "m")
+          .agg(min(struct(round(col("d2"), 6).as("d2r"), col("cb_id"))).as("best"))
+          .select(col("m"), col("best.cb_id").as("cb_id"), col("best.d2r").as("d2r"))
         val perCode = assigned.groupBy("m", "cb_id").agg(
           count(lit(1)).as("n"),
-          sum(round(col("d2"), 6).cast("decimal(18,6)")).as("serr"))
+          sum(col("d2r").cast("decimal(18,6)")).as("serr"))
         val wTop = Window.partitionBy("m").orderBy(col("n").desc, col("cb_id"))
         val tops = perCode.withColumn("trn", row_number().over(wTop)).filter(col("trn") === 1)
           .select(col("m"), col("cb_id").as("top_code"), col("n").as("top_n"))
