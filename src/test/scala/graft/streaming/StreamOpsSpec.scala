@@ -117,4 +117,25 @@ class StreamOpsSpec extends SparkSpec {
       assert(out == Set(("c1", "r1"), ("c2", "r2")))
     } finally query.stop()
   }
+
+  test("enrichWithStatic joins each micro-batch against the broadcast dim, keeping misses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val query = StreamOps.enrichWithStatic(
+        input.toDF().toDF("user_id", "value"), dim, keyCol = "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 10.0), (3L, 30.0))
+      query.processAllAvailable()
+      val out = spark.table("enriched").as[(Long, Double, Option[String])]
+        .collect().toSet
+      assert(out == Set((1L, 10.0, Some("gold")), (3L, 30.0, None)),
+        "dim match enriched, miss kept with null tier")
+    } finally query.stop()
+  }
 }
