@@ -17,10 +17,12 @@ class DeterminismSpec extends SparkSpec {
   // the queries whose arithmetic would break first under reordering:
   // decimal aggregation (q01), per-dim centroid sums (q44, q45),
   // HOF quantization folds (q46), cosine pipelines (q34), window
-  // decimal sums (q13b), portable sketches (q17, q96)
+  // decimal sums (q13b), portable sketches (q17, q96), component-sum
+  // statistics (q84), subspace distance folds (q47)
   private val risky = Seq("q01_pricing_summary", "q44_centroid", "q45_kmeans_iter",
     "q46_quantize_int8", "q34_dedup_embedding", "q13b_range_window",
-    "q17_approx_distinct", "q96_cms_heavy_hitters")
+    "q17_approx_distinct", "q96_cms_heavy_hitters", "q84_stats_corr",
+    "q47_pq_quantize")
 
   test("FP-sensitive queries are bit-identical under different partitioning") {
     val mismatches = risky.flatMap { name =>
