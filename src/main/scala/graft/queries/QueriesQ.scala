@@ -54,7 +54,7 @@ object QueriesQ extends QueryPack {
             sum("n").cast("bigint").as("n_vecs"),
             count(lit(1)).as("n_codes_used"),
             dec38(sum(col("serr"))).as("sum_qerr6"))
-          .join(tops, Seq("m"))
+          .join(broadcast(tops), Seq("m"))
           .withColumn("top_share_bp", expr("top_n * 10000 DIV n_vecs"))
           .select("m", "n_vecs", "n_codes_used", "top_code", "top_share_bp", "sum_qerr6")
           .orderBy("m")
