@@ -51,7 +51,9 @@ object QueriesS extends QueryPack {
       (s, dir) => {
         val ev = t(s, dir, "events")
           .selectExpr("user_id", s"$tsMs AS ts_ms", "value")
-        val mid = ev.agg(expr("min(ts_ms) + (max(ts_ms) - min(ts_ms)) DIV 2"))
+        // coalesce: empty input has NULL min/max — mid=0 keeps both epoch
+        // scans trivially empty instead of throwing at the driver
+        val mid = ev.agg(expr("coalesce(min(ts_ms) + (max(ts_ms) - min(ts_ms)) DIV 2, 0)"))
           .head().getLong(0)
         def epoch(pred: String) = ev.filter(expr(pred))
           .groupBy("user_id").agg(dec38(sum(dec(col("value")))).as("v"), count(lit(1)).as("n"))
