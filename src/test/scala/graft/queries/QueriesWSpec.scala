@@ -1,0 +1,20 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants for the QueriesW pack. */
+class QueriesWSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q39 fuzzy join: every typo'd probe links back to exactly its source") {
+    val rows = SparkEntry.queries("q39_fuzzy_join")(spark, dir).collect()
+    val byLink = rows.map(r => r.getAs[String]("self_link") ->
+      (r.getAs[Long]("n_links"), r.getAs[Long]("n_probes_linked"))).toMap
+    val n = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(byLink.contains("true"))
+    assert(byLink("true") == ((n, n)), "each probe must link to its own source")
+    // distance-1 deletions of unique 18-char names cannot reach other names
+    assert(!byLink.contains("false"), s"unexpected cross-links: $byLink")
+  }
+}
