@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Tables.t
+import graft.operators.Relational
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 coverage additions, part 16:
@@ -66,6 +68,57 @@ object QueriesW extends QueryPack {
         SELECT CAST(p_key = b_key AS VARCHAR) AS self_link,
                count(*) AS n_links,
                count(DISTINCT p_key) AS n_probes_linked
-        FROM linked GROUP BY 1 ORDER BY 1"""))
+        FROM linked GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- q12b
+    // Work-queue batching: q12's stale selection split into fixed-size
+    // task groups with a shared expiry — the chunked group-submission
+    // loop every periodical op runs (reference: op_update_calendar_
+    // periodical chunking + .set(expires=end_of_today), calendars.py:84;
+    // group bookkeeping models.py:629). The work queue is bounded by the
+    // op's how_many limit, so the single-partition rank is not a scale
+    // concern.
+    QDef("q12b_work_batches",
+      (s, dir) => {
+        import Q._
+        val ev = t(s, dir, "events").withColumn("ts_ms", expr(tsMs))
+        val universe = ev.groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", col("ts_ms"))).as("last_ts"))
+        val excl = ev.filter(col("event_type") === "error" &&
+            col("ts_ms") >= millisOf("2024-01-29 00:00:00"))
+          .select("user_id").distinct()
+        val queue = Relational.staleScan(universe, "user_id", "last_ts", excl,
+          cutoffMs = millisOf("2024-01-28 00:00:00"), limit = 100)
+        queue.withColumn("batch_id",
+            expr("(row_number() OVER (ORDER BY last_ts ASC NULLS FIRST, user_id) - 1) DIV 16"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_tasks"),
+            min("user_id").as("first_key"), max("user_id").as("last_key"),
+            lit(millisOf("2024-01-30 23:59:59")).as("expires_ms"))
+          .orderBy("batch_id")
+      },
+      Some(s"""
+        WITH universe AS (
+          SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_ts
+          FROM events GROUP BY user_id),
+        excl AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'error' AND epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-29 00:00:00')),
+        queue AS (
+          SELECT u.user_id, u.last_ts
+          FROM universe u
+          WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.user_id = u.user_id)
+            AND (u.last_ts IS NULL OR u.last_ts <= epoch_ms(TIMESTAMP '2024-01-28 00:00:00'))
+          ORDER BY u.last_ts ASC NULLS FIRST, u.user_id
+          LIMIT 100),
+        ranked AS (
+          SELECT user_id, last_ts,
+                 (row_number() OVER (ORDER BY last_ts ASC NULLS FIRST, user_id) - 1) // 16
+                   AS batch_id
+          FROM queue)
+        SELECT batch_id, count(*) AS n_tasks,
+               min(user_id) AS first_key, max(user_id) AS last_key,
+               ${Q.millisOf("2024-01-30 23:59:59")} AS expires_ms
+        FROM ranked GROUP BY 1 ORDER BY 1"""))
   )
 }

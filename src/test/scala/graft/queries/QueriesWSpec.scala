@@ -17,4 +17,16 @@ class QueriesWSpec extends SparkSpec {
     // distance-1 deletions of unique 18-char names cannot reach other names
     assert(!byLink.contains("false"), s"unexpected cross-links: $byLink")
   }
+
+  test("q12b work batches: full chunks except possibly the last, contiguous ids") {
+    val rows = SparkEntry.queries("q12b_work_batches")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("batch_id") == i, "batch ids are dense from 0")
+      val n = r.getAs[Long]("n_tasks")
+      if (i < rows.length - 1) assert(n == 16, "inner batches are full chunks")
+      else assert(n >= 1 && n <= 16)
+    }
+  }
 }
