@@ -34,7 +34,7 @@ private[graft] object Registry {
   def packs: Seq[QueryPack] =
     Seq(QueriesA, QueriesA2, QueriesB, QueriesC, QueriesD, QueriesE, QueriesF, QueriesG, QueriesH,
       QueriesI, QueriesJ, QueriesK, QueriesL, QueriesM, QueriesN, QueriesO, QueriesP,
-      QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW)
+      QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
