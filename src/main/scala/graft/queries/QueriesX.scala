@@ -76,6 +76,61 @@ object QueriesX extends QueryPack {
                (SELECT CAST(sum(n) AS BIGINT) FROM pairs_a) AS pairs_after,
                (SELECT CAST(sum(n) AS BIGINT) FROM pairs_b) -
                  (SELECT CAST(sum(n) AS BIGINT) FROM pairs_a) AS n_affected
-        FROM winner w"""))
+        FROM winner w""")),
+
+    // --------------------------------------------------------------- q102
+    // Data-mixture planning: allocate a corpus token budget (50% of all
+    // tokens) across (language × length-class) bins by greedy priority
+    // fill — full bins in priority order until the budget runs out, a
+    // fractional rate for the boundary bin, zero below it. Pure integer
+    // arithmetic: cumulative sums + LEAST/GREATEST, one tiny window over
+    // the bin table (bins are few; the token counting is the only
+    // corpus-scale pass).
+    QDef("q102_token_budget",
+      (s, dir) => {
+        val binned = t(s, dir, "documents")
+          .select(col("lang"),
+            expr("CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END").as("qclass"),
+            size(TextFunctions.words(col("text"))).cast("bigint").as("n_toks"))
+          .groupBy("lang", "qclass")
+          .agg(sum("n_toks").cast("bigint").as("bin_tokens"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("prio", expr("bin_tokens DIV n_docs")) // avg len = quality proxy
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("prio").desc, col("lang"), col("qclass"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        binned
+          .withColumn("budget",
+            expr("sum(bin_tokens) OVER () DIV 2"))
+          .withColumn("cum_before", coalesce(sum("bin_tokens").over(w), lit(0L)))
+          .withColumn("take_tokens",
+            expr("least(bin_tokens, greatest(CAST(0 AS BIGINT), budget - cum_before))"))
+          .withColumn("sample_bp", expr("take_tokens * 10000 DIV bin_tokens"))
+          .select("lang", "qclass", "n_docs", "bin_tokens", "take_tokens", "sample_bp")
+          .orderBy(col("lang"), col("qclass"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang,
+                 CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS qclass,
+                 CAST(len(${TextFunctions.wordsSql("text")}) AS BIGINT) AS n_toks
+          FROM documents),
+        bins AS (
+          SELECT lang, qclass, CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+                 count(*) AS n_docs
+          FROM d GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, bin_tokens // n_docs AS prio,
+                 CAST(sum(bin_tokens) OVER () AS BIGINT) // 2 AS budget,
+                 CAST(coalesce(sum(bin_tokens) OVER (ORDER BY bin_tokens // n_docs DESC,
+                   lang, qclass ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM bins)
+        SELECT lang, qclass, n_docs, bin_tokens,
+               least(bin_tokens, greatest(CAST(0 AS BIGINT), budget - cum_before))
+                 AS take_tokens,
+               least(bin_tokens, greatest(CAST(0 AS BIGINT), budget - cum_before))
+                 * 10000 // bin_tokens AS sample_bp
+        FROM ranked ORDER BY lang, qclass"""))
   )
 }

@@ -31,4 +31,21 @@ class QueriesXSpec extends SparkSpec {
     // occurrences of the same pair can't all merge)
     assert(r.getAs[Long]("n_affected") >= 1 && r.getAs[Long]("n_affected") <= expN)
   }
+
+  test("q102 token budget: greedy fill takes exactly half the corpus tokens") {
+    val rows = SparkEntry.queries("q102_token_budget")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("bin_tokens")).sum
+    val taken = rows.map(_.getAs[Long]("take_tokens")).sum
+    assert(taken == total / 2, s"allocated $taken of budget ${total / 2}")
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("sample_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("take_tokens") <= r.getAs[Long]("bin_tokens"))
+    }
+    // greedy: at most one bin is fractional (0 < bp < 10000)
+    assert(rows.count(r => {
+      val bp = r.getAs[Long]("sample_bp"); bp > 0 && bp < 10000
+    }) <= 1)
+  }
 }
