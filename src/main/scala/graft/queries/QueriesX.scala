@@ -131,6 +131,55 @@ object QueriesX extends QueryPack {
                  AS take_tokens,
                least(bin_tokens, greatest(CAST(0 AS BIGINT), budget - cum_before))
                  * 10000 // bin_tokens AS sample_bp
-        FROM ranked ORDER BY lang, qclass"""))
+        FROM ranked ORDER BY lang, qclass""")),
+
+    // --------------------------------------------------------------- q103
+    // Data-quality audit: declarative rule table → one scan, violation
+    // counts per rule (null checks, range checks, referential membership,
+    // key uniqueness). The ingest-gate every pipeline runs before
+    // accepting a batch; all rules evaluate in a single pass except
+    // uniqueness, which is its own aggregation.
+    QDef("q103_dq_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val rowRules = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0.0 || col("o_totalprice").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("nonpositive_price"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+            .cast("bigint").as("bad_status"),
+          count(lit(1)).as("n_rows"))
+        val dupKeys = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, col("c"))).cast("bigint").as("dup"),
+            lit(1).as("one"))
+        rowRules.withColumn("one", lit(1)).join(broadcast(dupKeys), "one")
+          .select(
+            col("n_rows"),
+            col("null_custkey"), col("nonpositive_price"), col("bad_status"),
+            coalesce(col("dup"), lit(0L)).as("duplicate_key_rows"))
+          .withColumn("pass",
+            col("null_custkey") === 0 && col("nonpositive_price") === 0 &&
+              col("bad_status") === 0 && col("duplicate_key_rows") === 0)
+      },
+      Some("""
+        WITH row_rules AS (
+          SELECT count(*) AS n_rows,
+                 CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+                   AS null_custkey,
+                 CAST(count(CASE WHEN o_totalprice <= 0.0 OR o_totalprice IS NULL
+                   THEN 1 END) AS BIGINT) AS nonpositive_price,
+                 CAST(count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                   THEN 1 END) AS BIGINT) AS bad_status
+          FROM orders),
+        dup AS (
+          SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+            AS duplicate_key_rows
+          FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1))
+        SELECT n_rows, null_custkey, nonpositive_price, bad_status,
+               duplicate_key_rows,
+               (null_custkey = 0 AND nonpositive_price = 0 AND bad_status = 0
+                 AND duplicate_key_rows = 0) AS pass
+        FROM row_rules, dup"""))
   )
 }

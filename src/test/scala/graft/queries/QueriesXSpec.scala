@@ -48,4 +48,21 @@ class QueriesXSpec extends SparkSpec {
       val bp = r.getAs[Long]("sample_bp"); bp > 0 && bp < 10000
     }) <= 1)
   }
+
+  test("q103 DQ audit: clean source passes; planted violations are counted") {
+    val r = SparkEntry.queries("q103_dq_audit")(spark, dir).collect().head
+    assert(r.getAs[Boolean]("pass"), s"driver testdata must audit clean: $r")
+    // plant violations in a copy: one dup key, one null custkey, one bad price
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val bad = o.limit(1).withColumn("o_custkey", lit(null).cast("bigint"))
+      .withColumn("o_totalprice", lit(-5.0))
+    o.unionByName(bad).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r2 = SparkEntry.queries("q103_dq_audit")(spark, tmp).collect().head
+    assert(!r2.getAs[Boolean]("pass"))
+    assert(r2.getAs[Long]("null_custkey") == 1)
+    assert(r2.getAs[Long]("nonpositive_price") == 1)
+    assert(r2.getAs[Long]("duplicate_key_rows") == 2, "both copies of the dup key count")
+  }
 }
