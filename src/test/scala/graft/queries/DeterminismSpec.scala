@@ -22,7 +22,7 @@ class DeterminismSpec extends SparkSpec {
   private val risky = Seq("q01_pricing_summary", "q44_centroid", "q45_kmeans_iter",
     "q46_quantize_int8", "q34_dedup_embedding", "q13b_range_window",
     "q17_approx_distinct", "q96_cms_heavy_hitters", "q84_stats_corr",
-    "q47_pq_quantize")
+    "q47_pq_quantize", "q100_nearest_aoi", "q99_table_checksum")
 
   test("FP-sensitive queries are bit-identical under different partitioning") {
     val mismatches = risky.flatMap { name =>
