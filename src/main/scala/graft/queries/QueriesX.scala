@@ -180,6 +180,50 @@ object QueriesX extends QueryPack {
                duplicate_key_rows,
                (null_custkey = 0 AND nonpositive_price = 0 AND bad_status = 0
                  AND duplicate_key_rows = 0) AS pass
-        FROM row_rules, dup"""))
+        FROM row_rules, dup""")),
+
+    // --------------------------------------------------------------- q104
+    // Key-skew diagnosis: per partition-key-candidate, the exact Gini
+    // coefficient of the per-key row distribution in basis points —
+    // gini = (2·Σ(rank·c) − (n+1)·Σc) / (n·Σc) computed entirely on
+    // BIGINT (one integer division at the end). The decision input for
+    // when to reach for q72's salting: high gini + high top share means
+    // a hot key will dominate a shuffle at 100 TB.
+    QDef("q104_skew_report",
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("c"), col("user_id"))
+        counts.withColumn("r", row_number().over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"),
+            sum("c").cast("bigint").as("n_rows"),
+            sum(col("r") * col("c")).cast("bigint").as("rc"),
+            max("c").cast("bigint").as("top_c"))
+          .withColumn("gini_bp",
+            expr("(2 * rc - (n_keys + 1) * n_rows) * 10000 DIV (n_keys * n_rows)"))
+          .withColumn("top_share_bp", expr("top_c * 10000 DIV n_rows"))
+          .select("event_type", "n_keys", "n_rows", "gini_bp", "top_share_bp")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT event_type, user_id, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS r
+          FROM counts),
+        agg AS (
+          SELECT event_type, count(*) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(sum(r * c) AS BIGINT) AS rc,
+                 CAST(max(c) AS BIGINT) AS top_c
+          FROM ranked GROUP BY 1)
+        SELECT event_type, n_keys, n_rows,
+               (2 * rc - (n_keys + 1) * n_rows) * 10000 // (n_keys * n_rows) AS gini_bp,
+               top_c * 10000 // n_rows AS top_share_bp
+        FROM agg ORDER BY event_type"""))
   )
 }

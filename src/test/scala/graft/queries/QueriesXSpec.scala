@@ -65,4 +65,23 @@ class QueriesXSpec extends SparkSpec {
     assert(r2.getAs[Long]("nonpositive_price") == 1)
     assert(r2.getAs[Long]("duplicate_key_rows") == 2, "both copies of the dup key count")
   }
+
+  test("q104 skew report: gini matches an independent computation, bounds hold") {
+    val counts = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "user_id").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1))).view.mapValues(_.length.toLong)
+      .toSeq.groupBy(_._1._1)
+    val rows = SparkEntry.queries("q104_skew_report")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cs = counts(r.getAs[String]("event_type")).map(_._2).sorted
+      val n = cs.length.toLong
+      val total = cs.sum
+      val rc = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = (2 * rc - (n + 1) * total) * 10000 / (n * total)
+      assert(r.getAs[Long]("gini_bp") == gini, s"gini for ${r.getString(0)}")
+      assert(gini >= 0 && gini < 10000)
+      assert(r.getAs[Long]("top_share_bp") >= 10000 / r.getAs[Long]("n_keys"))
+    }
+  }
 }
