@@ -75,15 +75,21 @@ object QueriesV extends QueryPack {
           .selectExpr("event_id",
             "((user_id * 47 + event_id * 13) % 36000) / 100.0 - 180 + 0.005 AS lng",
             "((user_id * 31 + event_id * 7) % 17000) / 100.0 - 85 + 0.005 AS lat")
+        // distances compare and sum as floor-quantized micro-km BIGINTs:
+        // the raw doubles are bit-identical across engines (same formula
+        // text), and floor(x*1e6) is pure IEEE arithmetic — unlike
+        // round(x, 6), whose half-way handling differs between Spark's
+        // shortest-repr BigDecimal path and DuckDB's raw-double round
+        // (one row in 600k diverged at sf0.1).
         pts.crossJoin(broadcast(centers))
-          .withColumn("d6",
-            round(Distance.haversineKm(col("lat"), col("lng"), col("cy"), col("cx")), 6))
+          .withColumn("d", Distance.haversineKm(col("lat"), col("lng"), col("cy"), col("cx")))
+          .withColumn("dukm", floor(col("d") * lit(1000000.0)).cast("bigint"))
           .groupBy("event_id")
-          .agg(min(struct(col("d6"), col("r_regionkey"), col("r_name"))).as("best"))
-          .select(col("best.r_name").as("r_name"), col("best.d6").as("d6"))
+          .agg(min(struct(col("dukm"), col("r_regionkey"), col("r_name"))).as("best"))
+          .select(col("best.r_name").as("r_name"), col("best.dukm").as("dukm"))
           .groupBy("r_name")
           .agg(count(lit(1)).as("n_points"),
-            dec38(sum(col("d6").cast("decimal(18,6)"))).as("sum_dist6"))
+            sum(col("dukm")).cast("bigint").as("sum_dist_ukm"))
           .orderBy("r_name")
       },
       Some(s"""
@@ -98,15 +104,16 @@ object QueriesV extends QueryPack {
           FROM events),
         scored AS (
           SELECT p.event_id, c.r_regionkey, c.r_name,
-                 round(${Distance.haversineKmSql("p.lat", "p.lng", "c.cy", "c.cx")}, 6) AS d6
+                 CAST(floor((${Distance.haversineKmSql("p.lat", "p.lng", "c.cy", "c.cx")})
+                   * 1000000.0) AS BIGINT) AS dukm
           FROM pts p CROSS JOIN centers c),
         best AS (
-          SELECT event_id, r_name, d6,
+          SELECT event_id, r_name, dukm,
                  row_number() OVER (PARTITION BY event_id
-                   ORDER BY d6, r_regionkey) AS rn
+                   ORDER BY dukm, r_regionkey) AS rn
           FROM scored)
         SELECT r_name, count(*) AS n_points,
-               CAST(sum(CAST(d6 AS DECIMAL(18,6))) AS $dec38Sql) AS sum_dist6
+               CAST(sum(dukm) AS BIGINT) AS sum_dist_ukm
         FROM best WHERE rn = 1
         GROUP BY 1 ORDER BY 1"""))
   )

@@ -26,6 +26,6 @@ class QueriesVSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val n = spark.read.parquet(s"$dir/events.parquet").count()
     assert(rows.map(_.getAs[Long]("n_points")).sum == n)
-    rows.foreach(r => assert(r.getAs[Double]("sum_dist6") >= 0.0))
+    rows.foreach(r => assert(r.getAs[Long]("sum_dist_ukm") >= 0L))
   }
 }
