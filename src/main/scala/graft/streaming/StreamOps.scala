@@ -108,6 +108,31 @@ object StreamOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonMs MILLISECONDS"))
   }
 
+  /** Continuously-maintained per-key statistics via mapGroupsWithState:
+    * each micro-batch folds its rows into the key's running (n, sum, max)
+    * and emits the refreshed row (update mode). State is one tiny record
+    * per live key — the streaming materialized view of q11's batch
+    * rollup (freshest listing/task stats without rescanning history). */
+  final case class KeyStats(user_id: Long, n: Long, sum_value: Double, max_ms: Long)
+
+  def runningStats(events: Dataset[Ev]): Dataset[KeyStats] = {
+    implicit val outEnc = Encoders.product[KeyStats]
+    implicit val longEnc = Encoders.scalaLong
+    val stateEnc = Encoders.product[KeyStats]
+
+    def update(userId: Long, rows: Iterator[Ev], state: GroupState[KeyStats]): KeyStats = {
+      var s = state.getOption.getOrElse(KeyStats(userId, 0L, 0.0, Long.MinValue))
+      rows.foreach { e =>
+        s = KeyStats(userId, s.n + 1, s.sum_value + e.value, math.max(s.max_ms, e.ts_ms))
+      }
+      state.update(s)
+      s
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(stateEnc, outEnc)
+  }
+
   /** Stream-static enrichment join: each micro-batch of `stream` joins
     * the (small) static dimension with a broadcast hash join — no
     * streaming state at all, the dim is rebroadcast per batch, so dim

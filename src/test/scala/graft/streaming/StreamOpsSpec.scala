@@ -118,6 +118,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("runningStats folds each batch into per-key state and emits refreshed rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamOps.Ev]
+    val query = StreamOps.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("rstats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamOps.Ev(1L, 100L, 1L, 2.0), StreamOps.Ev(1L, 200L, 2L, 3.0),
+        StreamOps.Ev(2L, 50L, 3L, 7.0))
+      query.processAllAvailable()
+      input.addData(StreamOps.Ev(1L, 300L, 4L, 5.0))
+      query.processAllAvailable()
+
+      // update mode: latest row per key reflects ALL batches so far
+      val latest = spark.table("rstats").as[StreamOps.KeyStats].collect()
+        .groupBy(_.user_id).map { case (k, g) => k -> g.maxBy(_.n) }
+      assert(latest(1L) == StreamOps.KeyStats(1L, 3L, 10.0, 300L),
+        "second batch must fold into first batch's state")
+      assert(latest(2L) == StreamOps.KeyStats(2L, 1L, 7.0, 50L))
+    } finally query.stop()
+  }
+
   test("enrichWithStatic joins each micro-batch against the broadcast dim, keeping misses") {
     val s = spark
     import s.implicits._
