@@ -34,7 +34,8 @@ private[graft] object Registry {
   def packs: Seq[QueryPack] =
     Seq(QueriesA, QueriesA2, QueriesB, QueriesC, QueriesD, QueriesE, QueriesF, QueriesG, QueriesH,
       QueriesI, QueriesJ, QueriesK, QueriesL, QueriesM, QueriesN, QueriesO, QueriesP,
-      QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX)
+      QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX,
+      QueriesY)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
