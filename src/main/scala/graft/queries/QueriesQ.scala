@@ -39,24 +39,29 @@ object QueriesQ extends QueryPack {
           s"stack($M, ${(0 until M).map(m => s"$m, d$m").mkString(", ")}) AS (m, d2)")
         // argmin per (vec, subspace) as a lexicographic struct-min: a hash
         // aggregate with map-side combine (the row_number-window form would
-        // sort-shuffle all n·M·16 candidate rows). Same total order as the
-        // oracle's ORDER BY round(d2,6), cb_id — cb_id breaks ties.
-        val assigned = stacked.groupBy("vec_id", "m")
-          .agg(min(struct(round(col("d2"), 6).as("d2r"), col("cb_id"))).as("best"))
-          .select(col("m"), col("best.cb_id").as("cb_id"), col("best.d2r").as("d2r"))
+        // sort-shuffle all n·M·16 candidate rows). Distances quantize to
+        // micro-units via floor BEFORE comparing/summing: floor on
+        // bit-identical doubles is pure IEEE (round(x,6)'s half-way
+        // handling differs between the engines at volume — the q100
+        // lesson), and the integer error sums are exact.
+        val assigned = stacked
+          .withColumn("d2u", floor(col("d2") * lit(1000000.0)).cast("bigint"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2u"), col("cb_id"))).as("best"))
+          .select(col("m"), col("best.cb_id").as("cb_id"), col("best.d2u").as("d2u"))
         val perCode = assigned.groupBy("m", "cb_id").agg(
           count(lit(1)).as("n"),
-          sum(col("d2r").cast("decimal(18,6)")).as("serr"))
+          sum(col("d2u")).cast("bigint").as("serr"))
         val wTop = Window.partitionBy("m").orderBy(col("n").desc, col("cb_id"))
         val tops = perCode.withColumn("trn", row_number().over(wTop)).filter(col("trn") === 1)
           .select(col("m"), col("cb_id").as("top_code"), col("n").as("top_n"))
         perCode.groupBy("m").agg(
             sum("n").cast("bigint").as("n_vecs"),
             count(lit(1)).as("n_codes_used"),
-            dec38(sum(col("serr"))).as("sum_qerr6"))
+            sum(col("serr")).cast("bigint").as("sum_qerr_u"))
           .join(broadcast(tops), Seq("m"))
           .withColumn("top_share_bp", expr("top_n * 10000 DIV n_vecs"))
-          .select("m", "n_vecs", "n_codes_used", "top_code", "top_share_bp", "sum_qerr6")
+          .select("m", "n_vecs", "n_codes_used", "top_code", "top_share_bp", "sum_qerr_u")
           .orderBy("m")
       },
       Some {
@@ -70,13 +75,15 @@ object QueriesQ extends QueryPack {
         pairs AS (SELECT e.vec_id, cb.cb_id, e.embedding, cb.cb_vec FROM e CROSS JOIN cb),
         d AS ($dm),
         a AS (
-          SELECT vec_id, cb_id, m, d2,
-                 row_number() OVER (PARTITION BY vec_id, m ORDER BY round(d2, 6), cb_id) AS rn
+          SELECT vec_id, cb_id, m,
+                 CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2u,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY CAST(floor(d2 * 1000000.0) AS BIGINT), cb_id) AS rn
           FROM d),
         assigned AS (SELECT * FROM a WHERE rn = 1),
         per_code AS (
           SELECT m, cb_id, count(*) AS n,
-                 sum(CAST(round(d2, 6) AS DECIMAL(18,6))) AS serr
+                 CAST(sum(d2u) AS BIGINT) AS serr
           FROM assigned GROUP BY 1, 2),
         tops AS (
           SELECT m, cb_id AS top_code, n AS top_n,
@@ -84,10 +91,10 @@ object QueriesQ extends QueryPack {
           FROM per_code),
         agg AS (
           SELECT m, CAST(sum(n) AS BIGINT) AS n_vecs, count(*) AS n_codes_used,
-                 CAST(sum(serr) AS $dec38Sql) AS sum_qerr6
+                 CAST(sum(serr) AS BIGINT) AS sum_qerr_u
           FROM per_code GROUP BY 1)
         SELECT agg.m, n_vecs, n_codes_used, top_code,
-               top_n * 10000 // n_vecs AS top_share_bp, sum_qerr6
+               top_n * 10000 // n_vecs AS top_share_bp, sum_qerr_u
         FROM agg JOIN tops ON agg.m = tops.m AND tops.trn = 1
         ORDER BY agg.m"""
       }),

@@ -17,7 +17,7 @@ class QueriesQSpec extends SparkSpec {
       assert(used >= 1 && used <= 16)
       val top = r.getAs[Long]("top_share_bp")
       assert(top >= 10000 / 16 && top <= 10000, "top code share within [uniform, all]")
-      assert(r.getAs[Double]("sum_qerr6") >= 0.0)
+      assert(r.getAs[Long]("sum_qerr_u") >= 0L)
       assert(r.getAs[Long]("top_code") >= 0 && r.getAs[Long]("top_code") < 16)
     }
   }
@@ -26,12 +26,12 @@ class QueriesQSpec extends SparkSpec {
     // vec_id < 16 ARE the codebook — their min distance is 0 (to their own
     // code), so total error over all vectors must be strictly less than a
     // corpus where they were excluded... sanity: per-subspace error of the
-    // 16 codebook vectors is exactly 0, so sum_qerr6 is attributable to the
+    // 16 codebook vectors is exactly 0, so sum_qerr_u is attributable to the
     // other n-16 vectors only. Verified indirectly: with n == 16 corpus the
-    // sum would be 0; here assert sum_qerr6 > 0 implies corpus > codebook.
+    // sum would be 0; here assert sum_qerr_u > 0 implies corpus > codebook.
     val rows = SparkEntry.queries("q47_pq_quantize")(spark, dir).collect()
     assert(rows.forall(_.getAs[Long]("n_vecs") > 16))
-    assert(rows.forall(_.getAs[Double]("sum_qerr6") > 0.0))
+    assert(rows.forall(_.getAs[Long]("sum_qerr_u") > 0L))
   }
 
   test("q78 CDC: alive + tombstoned == seen, totals match the key universe") {
