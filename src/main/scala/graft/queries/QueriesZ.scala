@@ -57,6 +57,100 @@ object QueriesZ extends QueryPack {
         SELECT user_id, count(*) AS n_hops,
                CAST(sum(hop_ukm) AS BIGINT) AS total_ukm,
                CAST(max(hop_ukm) AS BIGINT) AS max_ukm
-        FROM d GROUP BY 1 ORDER BY 1"""))
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- q112
+    // Share-shift report: each segment's share of total order value per
+    // year, and the basis-point shift against the prior year — the
+    // percent-of-total + period-over-period composition view (integer
+    // year from epoch-day arithmetic; shares in exact integer bp of cents).
+    QDef("q112_share_shift",
+      (s, dir) => {
+        val w = Window.partitionBy("seg").orderBy("yr")
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .selectExpr("c_custkey AS o_custkey", "c_mktsegment AS seg")), "o_custkey")
+          .selectExpr("seg",
+            "CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS yr",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+          .groupBy("seg", "yr").agg(sum("cents").cast("bigint").as("seg_cents"))
+          .withColumn("yr_cents",
+            sum("seg_cents").over(Window.partitionBy("yr")).cast("bigint"))
+          .withColumn("share_bp", expr("seg_cents * 10000 DIV yr_cents"))
+          .withColumn("shift_bp",
+            col("share_bp") - lag("share_bp", 1).over(w))
+          .select("seg", "yr", "share_bp", "shift_bp")
+          .orderBy("seg", "yr")
+      },
+      Some("""
+        WITH o AS (
+          SELECT c.c_mktsegment AS seg,
+                 CAST(year(o.o_orderdate) AS INT) AS yr,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (
+          SELECT seg, yr, CAST(sum(cents) AS BIGINT) AS seg_cents
+          FROM o GROUP BY 1, 2),
+        sh AS (
+          SELECT seg, yr,
+                 seg_cents * 10000 // CAST(sum(seg_cents) OVER (PARTITION BY yr) AS BIGINT)
+                   AS share_bp
+          FROM g)
+        SELECT seg, yr, share_bp,
+               share_bp - lag(share_bp) OVER (PARTITION BY seg ORDER BY yr) AS shift_bp
+        FROM sh ORDER BY seg, yr""")),
+
+    // --------------------------------------------------------------- q113
+    // FK fan-out histogram: distribution of children-per-parent (lineitems
+    // per order), including the zero bucket via a left join — the shape
+    // input for join planning (pairs with q108's existence audit).
+    QDef("q113_fanout_hist",
+      (s, dir) => {
+        val counts = t(s, dir, "orders").select(col("o_orderkey"))
+          .join(t(s, dir, "lineitem").groupBy("l_orderkey").agg(count(lit(1)).as("c")),
+            col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .select(coalesce(col("c"), lit(0L)).as("fanout"))
+        counts.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+          .orderBy("fanout")
+      },
+      Some("""
+        WITH c AS (
+          SELECT o.o_orderkey, coalesce(l.c, 0) AS fanout
+          FROM orders o LEFT JOIN (
+            SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1) l
+            ON o.o_orderkey = l.l_orderkey)
+        SELECT fanout, count(*) AS n_orders
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- q114
+    // Ties-aware top-k: RANK <= k keeps every row tied at the boundary
+    // (q02's row_number arbitrarily drops ties) — the correct form when
+    // "top 3 prices" must not silently discard equal-priced rows.
+    QDef("q114_topk_ties",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy(col("cents").desc)
+        t(s, dir, "lineitem")
+          .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 3)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            max("rk").cast("bigint").as("max_rank"),
+            min("cents").as("kth_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                 rank() OVER (PARTITION BY l_returnflag ORDER BY
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) DESC) AS rk
+          FROM lineitem)
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(max(rk) AS BIGINT) AS max_rank,
+               min(cents) AS kth_cents
+        FROM r WHERE rk <= 3
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -21,4 +21,31 @@ class QueriesZSpec extends SparkSpec {
       assert(r.getAs[Long]("max_ukm") <= 20016L * 1000000L)
     }
   }
+
+  test("q112 share shift: yearly shares sum to ~10000 bp, shifts cancel per year") {
+    val rows = SparkEntry.queries("q112_share_shift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("yr")).foreach { case (_, g) =>
+      val total = g.map(_.getAs[Long]("share_bp")).sum
+      // integer floor rounding: total within n_segments of 10000
+      assert(total > 10000 - g.length && total <= 10000)
+    }
+  }
+
+  test("q113 fanout histogram: buckets partition the parents, zero bucket present") {
+    val rows = SparkEntry.queries("q113_fanout_hist")(spark, dir).collect()
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    val zero = rows.find(_.getAs[Long]("fanout") == 0L)
+    assert(zero.isDefined, "the generator's childless orders must appear as fanout 0")
+  }
+
+  test("q114 ties-aware top-k: keeps at least 3 per group, never splits a tie") {
+    val rows = SparkEntry.queries("q114_topk_ties")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") >= 3, "rank <= 3 keeps at least 3 rows")
+      assert(r.getAs[Long]("max_rank") <= 3)
+    }
+  }
 }
