@@ -151,6 +151,39 @@ object QueriesZ extends QueryPack {
                CAST(max(rk) AS BIGINT) AS max_rank,
                min(cents) AS kth_cents
         FROM r WHERE rk <= 3
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- q115
+    // Time travel: reconstruct the per-key table state AS OF timestamp T
+    // from the SCD2 validity intervals (valid_from <= T < valid_to, open
+    // tail = current) — the temporal-table point lookup every audit and
+    // reproducibility story needs. Semantically identical to "latest
+    // event at or before T" (the spec cross-checks the equivalence).
+    QDef("q115_asof_snapshot",
+      (s, dir) => {
+        val asOf = millisOf("2024-01-20 00:00:00")
+        val iv = graft.operators.Relational.scd2Intervals(
+          t(s, dir, "events").withColumn("ts_ms", expr(tsMs)),
+          Seq(col("user_id")), col("ts_ms"), Seq(col("event_id")))
+        iv.filter(col("valid_from_ms") <= asOf &&
+            (col("valid_to_ms").isNull || col("valid_to_ms") > asOf))
+          .groupBy(expr("user_id % 10").as("bucket"))
+          .agg(count(lit(1)).as("n_keys"),
+            dec38(sum(dec(col("value")))).as("value_sum"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH iv AS (
+          SELECT user_id, value, epoch_ms(ts) AS valid_from_ms,
+                 lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
+          FROM events),
+        at_t AS (
+          SELECT user_id, value FROM iv
+          WHERE valid_from_ms <= ${millisOf("2024-01-20 00:00:00")}
+            AND (valid_to_ms IS NULL OR valid_to_ms > ${millisOf("2024-01-20 00:00:00")}))
+        SELECT user_id % 10 AS bucket, count(*) AS n_keys,
+               CAST(sum(CAST(value AS $decSql)) AS $dec38Sql) AS value_sum
+        FROM at_t GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -40,6 +40,24 @@ class QueriesZSpec extends SparkSpec {
     assert(zero.isDefined, "the generator's childless orders must appear as fanout 0")
   }
 
+  test("q115 as-of snapshot == latest-event-at-or-before-T per key") {
+    import org.apache.spark.sql.functions._
+    val asOf = Q.millisOf("2024-01-20 00:00:00")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr(Q.tsMs)).filter(col("ts_ms") <= asOf)
+    val direct = graft.operators.Relational
+      .latestSnapshot(ev, Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))
+      .groupBy(expr("user_id % 10").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaIntervals = graft.SparkEntry.queries("q115_asof_snapshot")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("value_sum"))).toMap
+    assert(viaIntervals == direct,
+      "interval reconstruction must equal the direct latest-before-T snapshot")
+  }
+
   test("q114 ties-aware top-k: keeps at least 3 per group, never splits a tie") {
     val rows = SparkEntry.queries("q114_topk_ties")(spark, dir).collect()
     assert(rows.nonEmpty)
