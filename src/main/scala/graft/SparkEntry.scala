@@ -35,7 +35,8 @@ private[graft] object Registry {
     Seq(QueriesA, QueriesA2, QueriesB, QueriesC, QueriesD, QueriesE, QueriesF, QueriesG, QueriesH,
       QueriesI, QueriesJ, QueriesK, QueriesL, QueriesM, QueriesN, QueriesO, QueriesP,
       QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX,
-      QueriesY, QueriesZ, QueriesAA, QueriesAB, QueriesAC, QueriesAD, QueriesAE)
+      QueriesY, QueriesZ, QueriesAA, QueriesAB, QueriesAC, QueriesAD, QueriesAE,
+      QueriesAF)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
