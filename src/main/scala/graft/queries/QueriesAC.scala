@@ -99,6 +99,7 @@ object QueriesAC extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events")
+          .where(col("value").isNotNull) // null measures drop out (ANSI-style)
           .selectExpr("user_id", s"$tsMs AS ts_ms", "event_id",
             """CAST(floor(value * 100 + 0.5) AS BIGINT)
                * (CASE WHEN event_type IN ('purchase','error') THEN -1 ELSE 1 END)
@@ -145,7 +146,7 @@ object QueriesAC extends QueryPack {
                  CAST(floor(value * 100 + 0.5) AS BIGINT)
                    * (CASE WHEN event_type IN ('purchase','error') THEN -1 ELSE 1 END)
                    AS delta
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         b AS (
           SELECT user_id, rn, cnt,
                  CASE WHEN delta < 0 THEN 0 ELSE delta END AS bal,
