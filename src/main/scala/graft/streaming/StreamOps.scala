@@ -108,6 +108,24 @@ object StreamOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonMs MILLISECONDS"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]], but
+    * left rows with NO right match within the horizon are still emitted
+    * (right side all-null) once the watermark passes their horizon — the
+    * streaming timeout/unmatched-accounting path (q146's batch shape).
+    * Spark purges join state and emits the outer rows watermark-driven;
+    * state stays O(horizon). */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        tsCol: String, watermark: String,
+                        horizonMs: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $horizonMs MILLISECONDS"),
+      "leftOuter")
+  }
+
   /** Continuously-maintained per-key statistics via mapGroupsWithState:
     * each micro-batch folds its rows into the key's running (n, sum, max)
     * and emits the refreshed row (update mode). State is one tiny record

@@ -118,6 +118,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinOuter emits unmatched left rows with nulls after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val left = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val right = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = StreamOps.intervalJoinOuter(
+        left.toDF().toDF("ts", "user_id", "tag"),
+        right.toDF().toDF("ts", "user_id", "tag"),
+        keyCol = "user_id", tsCol = "ts", watermark = "10 minutes",
+        horizonMs = 60000L)
+      .selectExpr("l.tag AS ltag", "r.tag AS rtag")
+      .writeStream.format("memory").queryName("ijo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+      left.addData((t(10), 1L, "c1"), (t(100), 1L, "c2"), (t(10), 2L, "c3"))
+      // r1 matches c1; c2 and c3 have no in-horizon right row
+      right.addData((t(30), 1L, "r1"), (t(80), 1L, "r4"))
+      query.processAllAvailable()
+      left.addData((t(3000), 9L, "wm"))
+      right.addData((t(3000), 8L, "wm"))
+      query.processAllAvailable()
+
+      val out = spark.table("ijo").as[(String, String)].collect().toSet
+      assert(out.contains(("c1", "r1")))
+      assert(out.contains(("c2", null)) && out.contains(("c3", null)),
+        s"unmatched left rows must surface with null right side, got $out")
+    } finally query.stop()
+  }
+
   test("runningStats folds each batch into per-key state and emits refreshed rows") {
     val s = spark
     import s.implicits._
