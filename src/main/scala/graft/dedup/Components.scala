@@ -73,6 +73,39 @@ object Components {
     labels
   }
 
+  /** Connected components for a graph whose NODE DOMAIN IS BOUNDED BY
+    * CONSTRUCTION (e.g. z-level grid cells: ≤ 4^z nodes regardless of
+    * data volume): one union-find pass in a single task. The distributed
+    * aggregation upstream has already collapsed the data to the bounded
+    * cell set, so a one-task finish is scale-safe — and replaces
+    * O(diameter) driver-looped jobs with exactly one. Same contract as
+    * [[labelPropagation]]: (id, lbl) with lbl = min node id in the
+    * component. */
+  def unionFindBounded(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(k => (k, find(k))).toVector.iterator
+      }
+      .toDF("id", "lbl")
+  }
+
   /** DuckDB oracle mirror: transitive closure via recursive CTE, then
     * min reachable id per node. `edgesSql` must yield (id_a, id_b). */
   def labelPropagationSql(edgesSql: String): String =

@@ -120,7 +120,8 @@ object QueriesAF extends QueryPack {
             Seq("nx", "ny"))
           .where(col("id") <= col("nid"))
           .select(col("id").as("id_a"), col("nid").as("id_b"))
-        Components.labelPropagation(edges, "id_a", "id_b")
+        // node domain ≤ 4^z by construction → one-task union-find finish
+        Components.unionFindBounded(edges, "id_a", "id_b")
           .join(hot.select(col("id"), col("n")), "id")
           .groupBy(col("lbl").as("cluster"))
           .agg(count(lit(1)).as("n_cells"),

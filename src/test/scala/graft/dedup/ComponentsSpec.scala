@@ -26,4 +26,17 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(1L) && labels.size == 12)
   }
+
+  test("unionFindBounded agrees with labelPropagation on a multi-component graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map { _ =>
+      val c = rnd.nextInt(10) // keep edges inside a component
+      (c * 1000L + rnd.nextInt(30), c * 1000L + rnd.nextInt(30))
+    }.toDF("id_a", "id_b")
+    val lp = Components.labelPropagation(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val uf = Components.unionFindBounded(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(uf == lp)
+  }
 }
