@@ -22,7 +22,12 @@ class DeterminismSpec extends SparkSpec {
   private val risky = Seq("q01_pricing_summary", "q44_centroid", "q45_kmeans_iter",
     "q46_quantize_int8", "q34_dedup_embedding", "q13b_range_window",
     "q17_approx_distinct", "q96_cms_heavy_hitters", "q84_stats_corr",
-    "q47_pq_quantize", "q100_nearest_aoi", "q99_table_checksum")
+    "q47_pq_quantize", "q100_nearest_aoi", "q99_table_checksum",
+    // round-4 late additions with IEEE-double formulas or sequential
+    // mapPartitions passes: chi2 (q133), lift (q140), seasonal index
+    // (q139), quantized matvec (q144), capped recurrences (q124, q149)
+    "q133_chi2_ab", "q139_seasonal_index", "q140_cooccurrence",
+    "q144_power_iteration", "q124_capped_balance", "q149_capped_sessions")
 
   test("FP-sensitive queries are bit-identical under different partitioning") {
     val mismatches = risky.flatMap { name =>
