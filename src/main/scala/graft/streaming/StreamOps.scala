@@ -72,6 +72,57 @@ object StreamOps {
         stateEnc, sessEnc)
   }
 
+  /** Gap + max-duration capped sessionization: like [[sessionize]], but a
+    * session also closes when the next event would stretch it past
+    * `capMs` from its start — the streaming form of q149 (bounded
+    * harvest-burst scheduling). Extension rule matches q149 exactly:
+    * extend iff gap ≤ gapMs AND (ts − start) ≤ capMs. State and timeout
+    * behavior identical to [[sessionize]] (cap only binds when a new
+    * event arrives; idle sessions close by gap timeout). */
+  def sessionizeCapped(events: Dataset[Ev], gapMs: Long, capMs: Long): Dataset[Session] = {
+    implicit val sessEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+    val stateEnc = Encoders.product[OpenSession]
+
+    def update(userId: Long, rows: Iterator[Ev],
+               state: GroupState[OpenSession]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+        var open = state.getOption
+        val closed = Seq.newBuilder[Session]
+        for (e <- sorted) {
+          open match {
+            case Some(s) if e.ts_ms - s.end_ms <= gapMs &&
+                e.ts_ms - s.start_ms <= capMs =>
+              open = Some(OpenSession(s.start_ms, e.ts_ms, s.n_events + 1, s.sum_value + e.value))
+            case Some(s) =>
+              closed += Session(userId, s.start_ms, s.end_ms, s.n_events, s.sum_value)
+              open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+            case None =>
+              open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_ms + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as(Encoders.product[Ev])
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)(
+        stateEnc, sessEnc)
+  }
+
   /** Watermarked tumbling-window counts per event type — the streaming
     * form of the task-status rollup (q11). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,

@@ -118,6 +118,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeCapped over real testdata equals the q149 batch recurrence") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "ts DIV 1000000 AS ts_ms", "event_id",
+        "coalesce(value, 0.0) AS value")
+      .as[Ev].collect().toSeq
+    val input = MemoryStream[Ev]
+    val query = StreamOps.sessionizeCapped(input.toDS(),
+        gapMs = 1800000L, capMs = 14400000L)
+      .writeStream.format("memory").queryName("capped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      // far-future event advances the watermark so every open session
+      // times out and emits
+      input.addData(Ev(999999L, evs.map(_.ts_ms).max + 10L * 86400000L, 0L, 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("capped").as[Session].collect()
+        .filter(_.user_id != 999999L)
+        .groupBy(_.user_id)
+        .map { case (u, ss) =>
+          u -> (ss.length.toLong, ss.map(_.n_events.toLong).max)
+        }
+      val batch = graft.SparkEntry.queries("q149_capped_sessions")(
+          spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("max_session_events")))
+        .toMap
+      assert(streamed.size == batch.size)
+      streamed.foreach { case (u, (n, mx)) =>
+        assert(batch(u) == ((n, mx)), s"user $u: stream ($n,$mx) vs batch ${batch(u)}")
+      }
+    } finally query.stop()
+  }
+
   test("intervalJoinOuter emits unmatched left rows with nulls after the watermark") {
     val s = spark
     import s.implicits._
