@@ -36,7 +36,8 @@ private[graft] object Registry {
       QueriesI, QueriesJ, QueriesK, QueriesL, QueriesM, QueriesN, QueriesO, QueriesP,
       QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX,
       QueriesY, QueriesZ, QueriesAA, QueriesAB, QueriesAC, QueriesAD, QueriesAE,
-      QueriesAF, QueriesAG, QueriesAH, QueriesAI, QueriesAJ, QueriesAK)
+      QueriesAF, QueriesAG, QueriesAH, QueriesAI, QueriesAJ, QueriesAK,
+      QueriesAL)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
