@@ -55,12 +55,15 @@ object QueriesAL extends QueryPack {
           .distinct()
           .where(Dedup.hamming(col("sh_a"), col("sh_b")) <= 3)
           .select("id_a", "id_b")
-        val both = lshPairs.intersect(shPairs)
-        val nA = lshPairs.count(); val nB = shPairs.count(); val nI = both.count()
-        import s.implicits._
-        Seq((nA, nB, nI, nA + nB - nI,
-            if (nA + nB - nI > 0) nI * 10000 / (nA + nB - nI) else 0L))
-          .toDF("n_minhash", "n_simhash", "n_both", "n_union", "agreement_bp")
+        val nA = lshPairs.agg(count(lit(1)).as("n_minhash"))
+        val nB = shPairs.agg(count(lit(1)).as("n_simhash"))
+        val nI = lshPairs.intersect(shPairs).agg(count(lit(1)).as("n_both"))
+        nA.crossJoin(nB).crossJoin(nI)
+          .selectExpr("n_minhash", "n_simhash", "n_both",
+            "n_minhash + n_simhash - n_both AS n_union",
+            """CASE WHEN n_minhash + n_simhash - n_both > 0
+               THEN n_both * 10000 DIV (n_minhash + n_simhash - n_both)
+               ELSE 0L END AS agreement_bp""")
       },
       Some {
         val wSql = TextFunctions.wordsSql("text")
