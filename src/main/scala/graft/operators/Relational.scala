@@ -108,4 +108,47 @@ object Relational {
           .otherwise(lit("unchanged")))
       .drop("_matched")
   }
+
+  /** Largest-remainder proration: distribute each group's BIGINT
+    * `totalCol` across its rows proportional to BIGINT `weightCol`,
+    * in whole units, conserving the total exactly — floor shares, then
+    * +1 to the rows with the largest remainders (ties by `tieCol`).
+    * Adds `alloc` and `bump`; q132's exact-money allocation as a
+    * reusable operator (two windows over the group partition). */
+  def prorate(df: DataFrame, groupCol: String, totalCol: String,
+              weightCol: String, tieCol: String): DataFrame = {
+    val wsum = Window.partitionBy(groupCol)
+    val base = df
+      .withColumn("_wsum", sum(weightCol).over(wsum))
+      .withColumn("_share", expr(s"$totalCol * $weightCol DIV _wsum"))
+      .withColumn("_frac", expr(s"($totalCol * $weightCol) % _wsum"))
+      .withColumn("_rem", col(totalCol) - sum("_share").over(wsum))
+    val wrank = Window.partitionBy(groupCol)
+      .orderBy(col("_frac").desc, col(tieCol))
+    base
+      .withColumn("bump", when(row_number().over(wrank) <= col("_rem"), 1L)
+        .otherwise(0L))
+      .withColumn("alloc", col("_share") + col("bump"))
+      .drop("_wsum", "_share", "_frac", "_rem")
+  }
+
+  /** 2-D skyline (Pareto frontier): distinct (xCol minimized, yCol
+    * maximized) points not dominated by any other. The distributed
+    * hash-aggregate collapses to one row per distinct x FIRST, so the
+    * single global window runs over the (bounded) distinct-x set — the
+    * q147 scale shape as a reusable operator. Returns (x, y,
+    * multiplicity). */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val counts = df.groupBy(xCol, yCol).agg(count(lit(1)).as("multiplicity"))
+    val wSame = Window.partitionBy(xCol).orderBy(col(yCol).desc)
+    val perX = counts
+      .withColumn("_rk", row_number().over(wSame))
+      .where(col("_rk") === 1)
+    val wCheaper = Window.orderBy(xCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX
+      .withColumn("_cm", max(yCol).over(wCheaper))
+      .where(col("_cm").isNull || col(yCol) > col("_cm"))
+      .drop("_rk", "_cm")
+  }
 }

@@ -214,17 +214,10 @@ object QueriesAC extends QueryPack {
         val ord = t(s, dir, "orders")
           .selectExpr("o_orderkey", "o_orderpriority",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS oc")
-        val wsum = Window.partitionBy("l_orderkey")
-        val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .withColumn("qsum", sum("qi").over(wsum))
-          .withColumn("share", expr("oc * qi DIV qsum"))
-          .withColumn("frac", expr("(oc * qi) % qsum"))
-          .withColumn("rem", col("oc") - sum("share").over(wsum))
-        val wrank = Window.partitionBy("l_orderkey")
-          .orderBy(col("frac").desc, col("l_linenumber"))
-        val alloc = base
-          .withColumn("bump", when(row_number().over(wrank) <= col("rem"), 1L).otherwise(0L))
-          .withColumn("alloc", col("share") + col("bump"))
+        val alloc = graft.operators.Relational.prorate(
+          li.join(ord, col("l_orderkey") === col("o_orderkey")),
+          groupCol = "l_orderkey", totalCol = "oc", weightCol = "qi",
+          tieCol = "l_linenumber")
         val perOrder = alloc.groupBy("o_orderkey", "o_orderpriority", "oc")
           .agg(sum("alloc").as("alloc_sum"), count(lit(1)).as("n_items"),
             sum("bump").as("bumped"))

@@ -36,23 +36,15 @@ object QueriesAG extends QueryPack {
 
     QDef("q147_skyline",
       (s, dir) => {
-        // Scale shape: the only global (non-partitioned) window runs over
-        // ONE ROW PER DISTINCT PRICE — the distributed hash-aggregate does
-        // the heavy lifting first, so the serial frontier pass is tiny.
-        val counts = t(s, dir, "lineitem")
-          .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc",
-            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi")
-          .groupBy("pc", "qi").agg(count(lit(1)).as("m"))
-        val wSame = Window.partitionBy("pc").orderBy(col("qi").desc)
-        val perPrice = counts
-          .withColumn("rk", row_number().over(wSame))
-          .where(col("rk") === 1)
-        val wCheaper = Window.orderBy("pc")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        perPrice
-          .withColumn("cheaper_max", max("qi").over(wCheaper))
-          .where(col("cheaper_max").isNull || col("qi") > col("cheaper_max"))
-          .select(col("pc"), col("qi"), col("m").as("multiplicity"))
+        // Scale shape (inside Relational.skyline2d): the only global
+        // window runs over ONE ROW PER DISTINCT PRICE — the distributed
+        // hash-aggregate does the heavy lifting first.
+        graft.operators.Relational.skyline2d(
+            t(s, dir, "lineitem")
+              .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc",
+                "CAST(floor(l_quantity + 0.5) AS BIGINT) AS qi"),
+            xCol = "pc", yCol = "qi")
+          .select("pc", "qi", "multiplicity")
           .orderBy("pc")
       },
       Some("""
