@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkSpec {
     // mapPartitions passes: chi2 (q133), lift (q140), seasonal index
     // (q139), quantized matvec (q144), capped recurrences (q124, q149)
     "q133_chi2_ab", "q139_seasonal_index", "q140_cooccurrence",
-    "q144_power_iteration", "q124_capped_balance", "q149_capped_sessions")
+    "q144_power_iteration", "q124_capped_balance", "q149_capped_sessions",
+    // session-3 additions: EWMA is a sequential mapPartitions recurrence,
+    // assortativity ends in a fixed-order IEEE division chain
+    "q179_ewma", "q184_assortativity")
 
   test("FP-sensitive queries are bit-identical under different partitioning") {
     val mismatches = risky.flatMap { name =>
