@@ -37,7 +37,8 @@ private[graft] object Registry {
       QueriesQ, QueriesR, QueriesS, QueriesT, QueriesU, QueriesV, QueriesW, QueriesX,
       QueriesY, QueriesZ, QueriesAA, QueriesAB, QueriesAC, QueriesAD, QueriesAE,
       QueriesAF, QueriesAG, QueriesAH, QueriesAI, QueriesAJ, QueriesAK,
-      QueriesAL, QueriesAM, QueriesAN, QueriesAO, QueriesAP, QueriesAQ, QueriesAR, QueriesAS, QueriesAT, QueriesAU)
+      QueriesAL, QueriesAM, QueriesAN, QueriesAO, QueriesAP, QueriesAQ, QueriesAR, QueriesAS, QueriesAT, QueriesAU,
+      QueriesAV)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))

@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   * the engine ships with. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,7 +35,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    System.err.println(s"[verify] ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} ok")
+    System.err.println(s"[verify] ${selected.size - failed}/${selected.size} ok")
     spark.stop()
   }
 }
