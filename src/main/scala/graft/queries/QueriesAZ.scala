@@ -84,7 +84,9 @@ object QueriesAZ extends QueryPack {
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct().cache()
         pos.count()
-        val nParts = t(s, dir, "part").agg(max("p_partkey")).head().getLong(0)
+        // empty-input safe: max() over zero rows is NULL → default domain 1
+        val nPartsRow = t(s, dir, "part").agg(max("p_partkey")).head()
+        val nParts = if (nPartsRow.isNullAt(0)) 1L else nPartsRow.getLong(0)
         val seg = t(s, dir, "customer")
           .select(col("c_custkey").as("c"), col("c_mktsegment").as("seg"))
         val negs = pos
