@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded graph censuses over DERIVED edge lists (co-occurrence /
+  * candidate graphs an order of magnitude smaller than the fact tables
+  * they come from — the distributed aggregation upstream already
+  * collapsed the volume).
+  *
+  * Reference analog: dense co-visibility region extraction over the
+  * listing/part co-occurrence graph (beside the q184/q185/q188 censuses).
+  *
+  * Scale shape (the q145/unionFindBounded lesson): the support-filtered
+  * edge list is dimension-bounded (nodes ⊆ part keys, edges cut by the
+  * support threshold), so when it fits one task we run the whole bounded
+  * iteration in a single mapPartitions pass — replacing O(rounds) driver-
+  * looped shuffle jobs with exactly one. When the derived graph is still
+  * large (`oneTaskMaxEdges` exceeded), both operators fall back to the
+  * distributed per-round form: one degree aggregation + semi-join round
+  * (k-core) / one frontier-expansion join round (BFS) per iteration —
+  * linear shuffles, no all-pairs stage. Both paths are spec-asserted
+  * equal (GraphCensusSpec).
+  */
+object GraphCensus {
+
+  /** K-core peel census: `rounds` rounds of "drop nodes with degree < k
+    * (and their edges)", emitting per-round survivor counts.
+    *
+    * @param edges distinct undirected edges (srcCol < dstCol, each once)
+    * @return DataFrame(round BIGINT, n_nodes BIGINT, n_edges BIGINT)
+    */
+  def kcoreCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                  k: Int, rounds: Int,
+                  oneTaskMaxEdges: Long = 2000000L): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).cache()
+    val nEdges = e0.count()
+    if (nEdges <= oneTaskMaxEdges) {
+      val out = e0.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          var es = it.toArray
+          (1 to rounds).iterator.map { round =>
+            val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+            es.foreach { case (a, b) =>
+              deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+            }
+            es = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+            val nodes = scala.collection.mutable.HashSet.empty[Long]
+            es.foreach { case (a, b) => nodes += a; nodes += b }
+            (round.toLong, nodes.size.toLong, es.length.toLong)
+          }
+        }
+        .toDF("round", "n_nodes", "n_edges")
+      e0.unpersist(false)
+      out
+    } else {
+      // distributed peel: per round ONE degree aggregation (map-side
+      // partial) + two semi-joins against the (small, broadcastable)
+      // survivor set; each round's edge set cached — the stat subtrees
+      // and the next round both read it.
+      var e = e0
+      var out: Seq[DataFrame] = Nil
+      for (round <- 1 to rounds) {
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val keep = deg.where(col("deg") >= k).select("v")
+        e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .cache()
+        e.count()
+        val stats = e.select(explode(array(col("a"), col("b"))).as("v"))
+          .agg((count(lit(1)) / 2).cast("bigint").as("n_edges"),
+            countDistinct("v").as("n_nodes"))
+        out = out :+ stats.selectExpr(
+          s"CAST($round AS BIGINT) AS round", "n_nodes", "n_edges")
+      }
+      out.reduce(_ unionAll _)
+    }
+  }
+
+  /** Bounded BFS frontier census from the max-degree node (smallest-id
+    * tiebreak): per hop, |new frontier| and |reached so far| (source
+    * included).
+    *
+    * @param edges distinct undirected edges (srcCol < dstCol, each once)
+    * @return DataFrame(hop BIGINT, frontier BIGINT, reached BIGINT)
+    */
+  def bfsCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                hops: Int,
+                oneTaskMaxEdges: Long = 2000000L): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).cache()
+    val nEdges = e0.count()
+    if (nEdges <= oneTaskMaxEdges) {
+      val out = e0.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val adj = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          def add(u: Long, v: Long): Unit =
+            adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+          var n = 0L
+          it.foreach { case (a, b) => add(a, b); add(b, a); n += 1 }
+          if (adj.isEmpty) Iterator.empty
+          else {
+            // max degree, smallest id tiebreak
+            val src = adj.iterator.map { case (v, ns) => (v, ns.length) }
+              .reduceLeft((x, y) =>
+                if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)._1
+            val visited = scala.collection.mutable.HashSet(src)
+            var frontier = Set(src)
+            (1 to hops).iterator.map { hop =>
+              val next = frontier.iterator
+                .flatMap(v => adj.getOrElse(v, Nil))
+                .filter(!visited.contains(_)).toSet
+              visited ++= next
+              frontier = next
+              (hop.toLong, next.size.toLong, visited.size.toLong)
+            }
+          }
+        }
+        .toDF("hop", "frontier", "reached")
+      e0.unpersist(false)
+      out
+    } else {
+      val adj = e0.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e0.select(col("b").as("u"), col("a").as("v"))).cache()
+      adj.count()
+      val src = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u")).limit(1).select(col("u").as("v"))
+        .cache()
+      src.count()
+      var visited = src
+      var frontier = src
+      var out: Seq[DataFrame] = Nil
+      for (hop <- 1 to hops) {
+        val next = adj.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+          .select("v").distinct()
+          .join(visited, Seq("v"), "left_anti").cache()
+        next.count()
+        frontier = next
+        visited = visited.unionAll(next)
+        out = out :+ next.agg(count(lit(1)).as("frontier"))
+          .crossJoin(visited.agg(count(lit(1)).as("reached")))
+          .selectExpr(s"CAST($hop AS BIGINT) AS hop", "frontier", "reached")
+      }
+      out.reduce(_ unionAll _)
+    }
+  }
+}

@@ -134,29 +134,9 @@ object QueriesAW extends QueryPack {
 
     // --------------------------------------------------------------- q195
     QDef("q195_kcore",
-      (s, dir) => {
-        import s.implicits._
-        val e0 = edges(s, dir).cache()
-        e0.count()
-        var e = e0
-        var out: Seq[DataFrame] = Nil
-        for (round <- 1 to 3) {
-          val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-            .groupBy("v").agg(count(lit(1)).as("deg"))
-          val keep = deg.where(col("deg") >= 3).select("v")
-          e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-            .select("a", "b")
-          val stats = e.agg(
-            countDistinct(col("a")).as("na"),
-            count(lit(1)).cast("bigint").as("n_edges"))
-          val nodes = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-            .agg(countDistinct("v").as("n_nodes"))
-          out = out :+ nodes.crossJoin(stats)
-            .selectExpr(s"CAST($round AS BIGINT) AS round", "n_nodes", "n_edges")
-        }
-        out.reduce(_ unionAll _).orderBy("round")
-      },
+      (s, dir) =>
+        graft.operators.GraphCensus.kcoreCensus(edges(s, dir), "a", "b",
+          k = 3, rounds = 3).orderBy("round"),
       Some(s"""
         WITH $edgesSql,
         d1 AS (SELECT v, count(*) AS deg FROM

@@ -161,7 +161,6 @@ object QueriesAY extends QueryPack {
     // --------------------------------------------------------------- q205
     QDef("q205_bfs_hops",
       (s, dir) => {
-        import s.implicits._
         val lp = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
         val e = lp.select(col("ok"), col("l_partkey").as("a"))
@@ -169,30 +168,9 @@ object QueriesAY extends QueryPack {
           .where(col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("w"))
           .where(col("w") >= 2)
-          .select("a", "b").cache()
-        e.count()
-        // undirected adjacency
-        val adj = e.select(col("a").as("u"), col("b").as("v"))
-          .unionAll(e.select(col("b").as("u"), col("a").as("v"))).cache()
-        adj.count()
-        // source: max degree, smallest id tiebreak
-        val src = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-          .orderBy(col("deg").desc, col("u")).limit(1).select(col("u").as("v"))
-        var visited = src
-        var frontier = src
-        var out: Seq[org.apache.spark.sql.DataFrame] = Nil
-        for (hop <- 1 to 3) {
-          val next = adj.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
-            .select("v").distinct()
-            .join(visited, Seq("v"), "left_anti").cache()
-          next.count()
-          frontier = next
-          visited = visited.unionAll(next)
-          out = out :+ next.agg(count(lit(1)).as("frontier"))
-            .crossJoin(visited.agg(count(lit(1)).as("reached")))
-            .selectExpr(s"CAST($hop AS BIGINT) AS hop", "frontier", "reached")
-        }
-        out.reduce(_ unionAll _).orderBy("hop")
+          .select("a", "b")
+        graft.operators.GraphCensus.bfsCensus(e, "a", "b", hops = 3)
+          .orderBy("hop")
       },
       Some("""
         WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
