@@ -13,7 +13,7 @@ object Probe {
       println(s"== $t: ${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
       df.show(3, truncate = false)
     }
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
     ev.selectExpr("event_id", "ts DIV 1000000 AS ts_ms",
         "CAST(get_json_object(props, '$.k') AS INT) AS k")
       .show(3, truncate = false)

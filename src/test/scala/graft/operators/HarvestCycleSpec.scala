@@ -9,7 +9,7 @@ class HarvestCycleSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val plan: HarvestCycle.Plan = {
-    val pts = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val pts = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select(SyntheticGeo.lng.as("lng"), SyntheticGeo.lat.as("lat"),
         expr("ts DIV 1000000").as("ts_ms"))
     // two in-flight tiles: the first two leaves by id

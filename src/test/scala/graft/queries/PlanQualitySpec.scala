@@ -19,7 +19,11 @@ class PlanQualitySpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val wsc = "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined
-      if (cart || !wsc) Some(s"$name cartesian=$cart codegen=$wsc") else None
+      // AQE collapses provably-empty results (q214/q216 have no pairs at
+      // sf0.001) to EmptyRelation — no codegen span because nothing runs;
+      // that IS the optimal plan, not a codegen regression
+      val empty = plan.contains("EmptyRelation")
+      if (cart || (!wsc && !empty)) Some(s"$name cartesian=$cart codegen=$wsc") else None
     }
     assert(flagged.isEmpty, s"plan red flags:\n${flagged.mkString("\n")}")
   }

@@ -8,7 +8,7 @@ class QueriesABSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q121 boxplot: quartile ordering, outliers verified independently") {
-    val byType = spark.read.parquet(s"$dir/events.parquet")
+    val byType = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(1)).sorted).toMap

@@ -9,7 +9,7 @@ class QueriesACSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private lazy val events: Array[(Long, Long, Long, String, Long)] =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.Tables.t(spark, dir, "events")
       .selectExpr("event_id", "ts DIV 1000000 AS ts_ms", "user_id", "event_type",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .collect()

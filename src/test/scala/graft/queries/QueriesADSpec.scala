@@ -8,7 +8,7 @@ class QueriesADSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q133 chi2: cells recompute; chi2 matches the closed form") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("((ts DIV 1000000) DIV 86400000 + 4) % 7 AS dow",
         "user_id % 2 AS v", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -32,7 +32,7 @@ class QueriesADSpec extends SparkSpec {
   }
 
   test("q134 CUSUM: the reported day maximizes |n*cum - i*tot|") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "(ts DIV 1000000) DIV 86400000 AS day")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val d0 = ev.map(_._2).min
@@ -88,7 +88,7 @@ class QueriesADSpec extends SparkSpec {
 
   test("q137 attribution: purchase counts conserve; unattributed channel is -1") {
     val rows = SparkEntry.queries("q137_attribution")(spark, dir).collect()
-    val nPurch = spark.read.parquet(s"$dir/events.parquet")
+    val nPurch = graft.Tables.t(spark, dir, "events")
       .where("event_type = 'purchase'").count()
     assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch)
     assert(rows.map(_.getAs[Long]("channel")).forall(c => c >= -1 && c <= 4))

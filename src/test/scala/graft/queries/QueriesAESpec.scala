@@ -12,7 +12,7 @@ class QueriesAESpec extends SparkSpec {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy("o_custkey").count().collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.Tables.t(spark, dir, "events")
       .groupBy("user_id").count().collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     val exact = orders.keysIterator

@@ -37,7 +37,7 @@ class QueriesAFSpec extends SparkSpec {
   test("q145 hotspot clusters: point totals never exceed table size; cells positive") {
     val rows = SparkEntry.queries("q145_hotspot_cluster")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val nEvents = graft.Tables.t(spark, dir, "events").count()
     assert(rows.map(_.getAs[Long]("n_points")).sum <= nEvents)
     assert(rows.forall(_.getAs[Long]("n_cells") >= 1))
   }
@@ -50,7 +50,7 @@ class QueriesAFSpec extends SparkSpec {
         r.getAs[Long]("n_clicks"))
     }
     // independent recompute of total matched over all days
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "event_type", "ts DIV 1000000 AS ms").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val purByUser = ev.filter(_._2 == "purchase").groupBy(_._1)

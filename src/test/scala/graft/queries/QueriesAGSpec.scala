@@ -46,7 +46,7 @@ class QueriesAGSpec extends SparkSpec {
   }
 
   test("q149 capped sessions: sequential recompute matches; caps bounded by sessions") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "ts DIV 1000000 AS ms", "event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val rows = SparkEntry.queries("q149_capped_sessions")(spark, dir).collect()

@@ -8,7 +8,7 @@ class QueriesAHSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q150 OHLC: open/close are the true first/last; low <= open,close <= high") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "(ts DIV 1000000) DIV 86400000 AS day",
         "ts DIV 1000000 AS ms", "event_id",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
@@ -27,7 +27,7 @@ class QueriesAHSpec extends SparkSpec {
   }
 
   test("q151 WAU: window count equals brute-force distinct over the 7-day window") {
-    val ud = spark.read.parquet(s"$dir/events.parquet")
+    val ud = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "(ts DIV 1000000) DIV 86400000 AS day")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val rows = SparkEntry.queries("q151_rolling_distinct")(spark, dir).collect()
@@ -67,7 +67,7 @@ class QueriesAHSpec extends SparkSpec {
           "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS vf").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).view.mapValues(_.sortBy(v => (v._3, v._2))).toMap
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.Tables.t(spark, dir, "events")
         .selectExpr("user_id", "ts DIV 1000000 AS ms").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       ev.count { case (u, ms) =>

@@ -8,7 +8,7 @@ class QueriesAMSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q164 GOF: chi2 numerator recomputes from hourly counts") {
-    val hours = spark.read.parquet(s"$dir/events.parquet")
+    val hours = graft.Tables.t(spark, dir, "events")
       .selectExpr("((ts DIV 1000000) DIV 3600000) % 24 AS hour")
       .collect().map(_.getLong(0))
     val counts = hours.groupBy(identity).view.mapValues(_.length.toLong).toMap
@@ -30,7 +30,7 @@ class QueriesAMSpec extends SparkSpec {
   }
 
   test("q166 KS drift: D numerator matches a brute-force CDF comparison") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("(ts DIV 1000000) DIV 86400000 AS day",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -10,7 +10,7 @@ class QueriesAOSpec extends SparkSpec {
   test("q168 RFM: users conserve; segments are valid 3-digit codes of 1..5") {
     val rows = SparkEntry.queries("q168_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val nPurchasers = spark.read.parquet(s"$dir/events.parquet")
+    val nPurchasers = graft.Tables.t(spark, dir, "events")
       .where("event_type = 'purchase'").select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n_users")).sum == nPurchasers)
     rows.foreach { r =>
@@ -35,7 +35,7 @@ class QueriesAOSpec extends SparkSpec {
   test("q171 concurrency: peak matches a brute-force sweep over session intervals") {
     val r = SparkEntry.queries("q171_concurrency")(spark, dir).collect().head
     // brute force: rebuild sessions and scan minute boundaries
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "ts DIV 1000000 AS ms", "event_id").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>

@@ -21,7 +21,7 @@ class QueriesAPSpec extends SparkSpec {
 
   test("q173 Pareto: 80% threshold is minimal; decile share recomputes") {
     val r = SparkEntry.queries("q173_pareto")(spark, dir).collect().head
-    val revs = spark.read.parquet(s"$dir/events.parquet")
+    val revs = graft.Tables.t(spark, dir, "events")
       .where("event_type = 'purchase'")
       .selectExpr("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .groupBy("user_id").sum("vc").collect()

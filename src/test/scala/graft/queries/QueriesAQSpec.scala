@@ -8,7 +8,7 @@ class QueriesAQSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q174 forecast: matches an in-memory OLS closed form; plausible magnitude") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "(ts DIV 1000000) DIV 86400000 AS day")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val d0 = ev.map(_._2).min

@@ -39,7 +39,7 @@ class QueriesARSpec extends SparkSpec {
   }
 
   test("q177 Theil-Sen: equals in-memory median-of-pairwise-slopes") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "(ts DIV 1000000) DIV 86400000 AS d")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val rows = SparkEntry.queries("q177_theilsen")(spark, dir).collect()
@@ -60,7 +60,7 @@ class QueriesARSpec extends SparkSpec {
   }
 
   test("q178 bitmap overlap: actives equal exact distinct; jaccard bounded") {
-    val exact = spark.read.parquet(s"$dir/events.parquet")
+    val exact = graft.Tables.t(spark, dir, "events")
       .selectExpr("(ts DIV 1000000) DIV 86400000 AS day", "user_id")
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -8,7 +8,7 @@ class QueriesASSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q179 EWMA: equals sequential in-memory recurrence per user") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "ts DIV 1000000 AS ts_ms", "event_id",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -40,7 +40,7 @@ class QueriesAVSpec extends SparkSpec {
   }
 
   test("q191 acf1 equals in-memory recompute") {
-    val daily = spark.read.parquet(s"$dir/events.parquet")
+    val daily = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "ts DIV 1000000 DIV 86400000 AS d")
       .groupBy("event_type", "d").count()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

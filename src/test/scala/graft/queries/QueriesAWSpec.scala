@@ -9,7 +9,7 @@ class QueriesAWSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q194 token bucket: equals sequential in-memory replay") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .selectExpr("user_id", "ts DIV 1000000 AS ts_ms", "event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val cap = 500L; val cost = 25L

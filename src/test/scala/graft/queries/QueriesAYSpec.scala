@@ -39,7 +39,7 @@ class QueriesAYSpec extends SparkSpec {
     }
     // total events across types equals table size
     val tot = rows.map(_.getAs[Long]("n_events")).sum
-    assert(tot == spark.read.parquet(s"$dir/events.parquet").count())
+    assert(tot == graft.Tables.t(spark, dir, "events").count())
   }
 
   test("q204 chi-square: non-negative, cells = |segments| x |priorities|") {

@@ -40,7 +40,7 @@ class QueriesOSpec extends SparkSpec {
   }
 
   test("q85 geohash: integer interleave == independent bisection, for every cell") {
-    val expected = spark.read.parquet(s"$dir/events.parquet")
+    val expected = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_id", "user_id").collect()
       .map { r =>
         val (e, u) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))

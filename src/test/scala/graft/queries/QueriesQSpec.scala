@@ -42,7 +42,7 @@ class QueriesQSpec extends SparkSpec {
       assert(r.getAs[Long]("n_alive") + r.getAs[Long]("n_tombstoned") == r.getAs[Long]("n_keys"))
       total += r.getAs[Long]("n_keys")
     }
-    val users = spark.read.parquet(s"$dir/events.parquet")
+    val users = graft.Tables.t(spark, dir, "events")
       .select("user_id").distinct().count()
     assert(total == users, "every key seen in the log lands in exactly one bucket")
   }

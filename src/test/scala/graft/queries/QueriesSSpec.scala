@@ -10,7 +10,7 @@ class QueriesSSpec extends SparkSpec {
   test("q79 path signatures: paths bounded at 8 steps, user totals conserved") {
     val rows = SparkEntry.queries("q79_path_signature")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val users = spark.read.parquet(s"$dir/events.parquet")
+    val users = graft.Tables.t(spark, dir, "events")
       .select("user_id").distinct().count()
     rows.foreach { r =>
       val path = r.getAs[String]("path")
@@ -30,7 +30,7 @@ class QueriesSSpec extends SparkSpec {
   test("q77 epoch reconcile: every key accounted once, event totals conserved") {
     val rows = SparkEntry.queries("q77_epoch_reconcile")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
     val users = ev.select("user_id").distinct().count()
     val events = ev.count()
     assert(rows.map(_.getAs[Long]("n_keys")).sum == users)

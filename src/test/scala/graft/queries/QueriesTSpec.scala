@@ -8,7 +8,7 @@ class QueriesTSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("q11d interpolated percentiles match an independent in-memory computation") {
-    val byType = spark.read.parquet(s"$dir/events.parquet")
+    val byType = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
       .collect()
       .groupBy(_.getAs[String]("event_type"))

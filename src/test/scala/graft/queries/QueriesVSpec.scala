@@ -24,7 +24,7 @@ class QueriesVSpec extends SparkSpec {
   test("q100 nearest AOI: every point assigned exactly once") {
     val rows = SparkEntry.queries("q100_nearest_aoi")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    val n = graft.Tables.t(spark, dir, "events").count()
     assert(rows.map(_.getAs[Long]("n_points")).sum == n)
     rows.foreach(r => assert(r.getAs[Long]("sum_dist_ukm") >= 0L))
   }

@@ -67,7 +67,7 @@ class QueriesXSpec extends SparkSpec {
   }
 
   test("q104 skew report: gini matches an independent computation, bounds hold") {
-    val counts = spark.read.parquet(s"$dir/events.parquet")
+    val counts = graft.Tables.t(spark, dir, "events")
       .selectExpr("event_type", "user_id").collect()
       .groupBy(r => (r.getString(0), r.getLong(1))).view.mapValues(_.length.toLong)
       .toSeq.groupBy(_._1._1)

@@ -10,7 +10,7 @@ class QueriesYSpec extends SparkSpec {
   test("q106 activity matrix: cells partition all events, indices in range") {
     val rows = SparkEntry.queries("q106_activity_matrix")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val total = graft.Tables.t(spark, dir, "events").count()
     assert(rows.map(_.getAs[Long]("n")).sum == total)
     rows.foreach { r =>
       assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
@@ -22,7 +22,7 @@ class QueriesYSpec extends SparkSpec {
     val rows = SparkEntry.queries("q107_growth_curve")(spark, dir).collect()
       .sortBy(_.getAs[Long]("day"))
     assert(rows.nonEmpty)
-    val users = spark.read.parquet(s"$dir/events.parquet")
+    val users = graft.Tables.t(spark, dir, "events")
       .select("user_id").distinct().count()
     assert(rows.last.getAs[Long]("cum_users") == users)
     rows.foreach { r =>

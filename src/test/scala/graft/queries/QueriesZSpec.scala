@@ -10,7 +10,7 @@ class QueriesZSpec extends SparkSpec {
   test("q110 trajectory: hop accounting vs the event counts, bounds sane") {
     val rows = SparkEntry.queries("q110_trajectory")(spark, dir).collect()
     assert(rows.nonEmpty)
-    val perUser = spark.read.parquet(s"$dir/events.parquet")
+    val perUser = graft.Tables.t(spark, dir, "events")
       .groupBy("user_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
@@ -43,7 +43,7 @@ class QueriesZSpec extends SparkSpec {
   test("q115 as-of snapshot == latest-event-at-or-before-T per key") {
     import org.apache.spark.sql.functions._
     val asOf = Q.millisOf("2024-01-20 00:00:00")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.Tables.t(spark, dir, "events")
       .withColumn("ts_ms", expr(Q.tsMs)).filter(col("ts_ms") <= asOf)
     val direct = graft.operators.Relational
       .latestSnapshot(ev, Seq(col("user_id")), Seq(col("ts_ms"), col("event_id")))

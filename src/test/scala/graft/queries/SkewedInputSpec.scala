@@ -26,7 +26,7 @@ class SkewedInputSpec extends SparkSpec {
   }
 
   test("salted aggregation equals plain aggregation on a 95%-hot key") {
-    val ev = spark.read.parquet(s"$skewDir/events.parquet")
+    val ev = graft.Tables.t(spark, skewDir, "events")
     val plain = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val salted = SkewTools.saltedCount(ev, "user_id", nSalts = 8)
@@ -36,7 +36,7 @@ class SkewedInputSpec extends SparkSpec {
   }
 
   test("salted join equals plain join on the hot key") {
-    val ev = spark.read.parquet(s"$skewDir/events.parquet")
+    val ev = graft.Tables.t(spark, skewDir, "events")
       .select("event_id", "user_id", "value")
     val dim = spark.read.parquet(s"$skewDir/customer.parquet")
       .selectExpr("c_custkey AS user_id", "c_mktsegment")

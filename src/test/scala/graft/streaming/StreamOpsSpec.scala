@@ -123,7 +123,7 @@ class StreamOpsSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val evs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evs = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .selectExpr("user_id", "ts DIV 1000000 AS ts_ms", "event_id",
         "coalesce(value, 0.0) AS value")
       .as[Ev].collect().toSeq
