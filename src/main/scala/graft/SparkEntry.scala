@@ -38,7 +38,8 @@ private[graft] object Registry {
       QueriesY, QueriesZ, QueriesAA, QueriesAB, QueriesAC, QueriesAD, QueriesAE,
       QueriesAF, QueriesAG, QueriesAH, QueriesAI, QueriesAJ, QueriesAK,
       QueriesAL, QueriesAM, QueriesAN, QueriesAO, QueriesAP, QueriesAQ, QueriesAR, QueriesAS, QueriesAT, QueriesAU,
-      QueriesAV, QueriesAW, QueriesAX, QueriesAY, QueriesAZ)
+      QueriesAV, QueriesAW, QueriesAX, QueriesAY, QueriesAZ, QueriesBA, QueriesBB,
+      QueriesBC)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
