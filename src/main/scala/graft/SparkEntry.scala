@@ -39,7 +39,8 @@ private[graft] object Registry {
       QueriesAF, QueriesAG, QueriesAH, QueriesAI, QueriesAJ, QueriesAK,
       QueriesAL, QueriesAM, QueriesAN, QueriesAO, QueriesAP, QueriesAQ, QueriesAR, QueriesAS, QueriesAT, QueriesAU,
       QueriesAV, QueriesAW, QueriesAX, QueriesAY, QueriesAZ, QueriesBA, QueriesBB,
-      QueriesBC, QueriesBD, QueriesBE, QueriesBF, QueriesBG, QueriesBH, QueriesBI)
+      QueriesBC, QueriesBD, QueriesBE, QueriesBF, QueriesBG, QueriesBH, QueriesBI,
+      QueriesBJ)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
