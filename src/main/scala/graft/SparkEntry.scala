@@ -40,7 +40,8 @@ private[graft] object Registry {
       QueriesAL, QueriesAM, QueriesAN, QueriesAO, QueriesAP, QueriesAQ, QueriesAR, QueriesAS, QueriesAT, QueriesAU,
       QueriesAV, QueriesAW, QueriesAX, QueriesAY, QueriesAZ, QueriesBA, QueriesBB,
       QueriesBC, QueriesBD, QueriesBE, QueriesBF, QueriesBG, QueriesBH, QueriesBI,
-      QueriesBJ, QueriesBK, QueriesBL, QueriesBM, QueriesBN, QueriesBO, QueriesBP)
+      QueriesBJ, QueriesBK, QueriesBL, QueriesBM, QueriesBN, QueriesBO, QueriesBP,
+      QueriesBQ)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
