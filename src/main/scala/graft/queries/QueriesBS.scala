@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *    revenue share in bp from one conditional aggregate over the
   *    lineitem⋈part broadcast join.
   *  - q284: dominant suppliers (Q20 shape) — (supplier, part) pairs
-  *    where the supplier shipped a strict majority of the part's total
-  *    quantity (2·qty > total, exact), rolled up per supplier nation.
+  *    where the supplier shipped more than 1/8 of the part's total
+  *    quantity (8·qty > total, exact), rolled up per supplier nation.
   *    Group-sums + one per-part window sum — no correlated subquery.
   *
   * Reference analog: cheapest-host-per-area sourcing, high-volume
@@ -158,7 +158,7 @@ object QueriesBS extends QueryPack {
           .agg(sum("qty").cast("bigint").as("supp_qty"))
           .withColumn("part_qty",
             sum("supp_qty").over(Window.partitionBy("l_partkey")))
-          .where(col("supp_qty") * 2L > col("part_qty"))
+          .where(col("supp_qty") * 8L > col("part_qty"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), "nk")
           .groupBy("n_name")
@@ -181,7 +181,7 @@ object QueriesBS extends QueryPack {
         FROM dom d
         JOIN supplier s ON d.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE d.supp_qty * 2 > d.part_qty
+        WHERE d.supp_qty * 8 > d.part_qty
         GROUP BY 1 ORDER BY n_name"""))
   )
 }
