@@ -41,7 +41,8 @@ private[graft] object Registry {
       QueriesAV, QueriesAW, QueriesAX, QueriesAY, QueriesAZ, QueriesBA, QueriesBB,
       QueriesBC, QueriesBD, QueriesBE, QueriesBF, QueriesBG, QueriesBH, QueriesBI,
       QueriesBJ, QueriesBK, QueriesBL, QueriesBM, QueriesBN, QueriesBO, QueriesBP,
-      QueriesBQ, QueriesBR, QueriesBS, QueriesBT, QueriesBU, QueriesBV, QueriesBW, QueriesBX)
+      QueriesBQ, QueriesBR, QueriesBS, QueriesBT, QueriesBU, QueriesBV, QueriesBW, QueriesBX,
+      QueriesBY)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))
