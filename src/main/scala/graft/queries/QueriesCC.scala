@@ -145,7 +145,10 @@ object QueriesCC extends QueryPack {
         val cap = 2000L
         val docs = t(s, dir, "documents")
           .withColumn("w", TextFunctions.words(col("text")))
-          .selectExpr("source", "doc_id", "CAST(size(w) AS BIGINT) AS tok")
+          // null-tolerant: nulled text/source must not break the Long/String
+          // encoder (NullInputSpec contract); identical coalesce in the oracle
+          .selectExpr("coalesce(source, '(null)') AS source", "doc_id",
+            "CAST(coalesce(size(w), 0) AS BIGINT) AS tok")
           .as[PackIn]
         docs.repartition(col("source"))
           .sortWithinPartitions("source", "doc_id")
@@ -182,10 +185,11 @@ object QueriesCC extends QueryPack {
       },
       Some(s"""
         WITH RECURSIVE d AS (
-          SELECT source, doc_id, CAST(len(w) AS BIGINT) AS tok,
+          SELECT source, doc_id, CAST(coalesce(len(w), 0) AS BIGINT) AS tok,
                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
                  count(*) OVER (PARTITION BY source) AS cnt
-          FROM (SELECT source, doc_id, $wSql AS w FROM documents)),
+          FROM (SELECT coalesce(source, '(null)') AS source, doc_id,
+                       $wSql AS w FROM documents)),
         p AS (
           SELECT source, rn, cnt, tok AS fill, CAST(1 AS BIGINT) AS bins,
                  tok AS tok_total
