@@ -154,4 +154,102 @@ object GraphCensus {
       out.reduce(_ unionAll _)
     }
   }
+
+  /** Double-sweep diameter lower bound: hop-bounded BFS from the
+    * max-degree node (smallest-id tiebreak), then a second BFS from the
+    * farthest node reached (max hop, smallest-id tiebreak). Emits one
+    * row per phase with the BFS source, its bounded eccentricity and
+    * reach. One-task finish when the derived edge list is bounded;
+    * distributed per-round frontier expansion (cached, like
+    * [[bfsCensus]]) otherwise.
+    *
+    * @param edges distinct undirected edges (srcCol < dstCol, each once)
+    * @return DataFrame(phase BIGINT, src BIGINT, ecc BIGINT, reached BIGINT)
+    */
+  def doubleSweep(edges: DataFrame, srcCol: String, dstCol: String,
+                  hops: Int,
+                  oneTaskMaxEdges: Long = 2000000L): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).cache()
+    val nEdges = e0.count()
+    if (nEdges <= oneTaskMaxEdges) {
+      val out = e0.as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val adj = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+          def add(u: Long, v: Long): Unit =
+            adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+          it.foreach { case (a, b) => add(a, b); add(b, a) }
+          if (adj.isEmpty) Iterator.empty
+          else {
+            // BFS returning (eccentricity, reached, farthest node)
+            def sweep(src: Long): (Long, Long, Long) = {
+              val visited = scala.collection.mutable.HashSet(src)
+              var frontier = Set(src)
+              var ecc = 0L
+              var far = src
+              var hop = 1
+              while (hop <= hops && frontier.nonEmpty) {
+                val next = frontier.iterator
+                  .flatMap(v => adj.getOrElse(v, Nil))
+                  .filter(!visited.contains(_)).toSet
+                if (next.nonEmpty) { ecc = hop.toLong; far = next.min }
+                visited ++= next
+                frontier = next
+                hop += 1
+              }
+              (ecc, visited.size.toLong, far)
+            }
+            val hub = adj.iterator.map { case (v, ns) => (v, ns.length) }
+              .reduceLeft((x, y) =>
+                if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)._1
+            val (ecc1, reach1, far1) = sweep(hub)
+            val (ecc2, reach2, _) = sweep(far1)
+            Iterator((1L, hub, ecc1, reach1), (2L, far1, ecc2, reach2))
+          }
+        }
+        .toDF("phase", "src", "ecc", "reached")
+      e0.unpersist(false)
+      out
+    } else {
+      val adj = e0.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e0.select(col("b").as("u"), col("a").as("v"))).cache()
+      adj.count()
+      def sweepD(srcDf: DataFrame): (DataFrame, DataFrame) = {
+        // srcDf: one row (v BIGINT), lineage-truncated. Returns (phase
+        // stats sans phase id, farthest-node df). localCheckpoint per
+        // round keeps the iterative plan from growing (Components.scala
+        // precedent) — without it the 2-phase × hops lineage overflows
+        // the planner stack.
+        var visited = srcDf
+        var frontier = srcDf
+        var ecc = 0L
+        var lastNonEmpty = srcDf
+        for (hop <- 1 to hops) {
+          val next = adj.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
+            .select("v").distinct()
+            .join(visited, Seq("v"), "left_anti").localCheckpoint()
+          if (next.count() > 0) { ecc = hop.toLong; lastNonEmpty = next }
+          frontier = next
+          visited = visited.unionAll(next).localCheckpoint()
+        }
+        val stats = visited.agg(count(lit(1)).as("reached"))
+          .crossJoin(srcDf.select(col("v").as("src")))
+          .selectExpr("src", s"CAST($ecc AS BIGINT) AS ecc", "reached")
+        val far = lastNonEmpty.orderBy("v").limit(1).localCheckpoint()
+        (stats, far)
+      }
+      val hub = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u")).limit(1).select(col("u").as("v"))
+        .localCheckpoint()
+      val (s1, far1) = sweepD(hub)
+      val (s2, _) = sweepD(far1)
+      s1.selectExpr("CAST(1 AS BIGINT) AS phase", "src", "ecc", "reached")
+        .unionAll(s2.selectExpr("CAST(2 AS BIGINT) AS phase", "src", "ecc",
+          "reached"))
+    }
+  }
 }

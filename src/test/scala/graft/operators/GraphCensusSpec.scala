@@ -56,4 +56,21 @@ class GraphCensusSpec extends SparkSpec {
     val e = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphCensus.bfsCensus(e, "a", "b", hops = 3).count() === 0L)
   }
+
+  test("doubleSweep: one-task path equals distributed path") {
+    for (seed <- 1 to 3) {
+      val e = randomEdges(seed + 20, nNodes = 80, nEdges = 120).cache()
+      val fast = rows(GraphCensus.doubleSweep(e, "a", "b", hops = 4)
+        .orderBy("phase"))
+      val dist = rows(GraphCensus.doubleSweep(e, "a", "b", hops = 4,
+        oneTaskMaxEdges = 0L).orderBy("phase"))
+      assert(fast === dist, s"seed=$seed")
+      assert(fast.size === 2)
+      // phase 2 starts at a node reached by phase 1, so in the same
+      // component: both sweeps reach the identical vertex set when the
+      // hop bound is not binding on either.
+      val eccs = fast.map(_(2).asInstanceOf[Long])
+      assert(eccs.forall(x => x >= 0 && x <= 4))
+    }
+  }
 }
