@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.PortableHash
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage additions, part 111 — collaborative filtering,
+  * ML-hygiene audits, storage-engine economics:
+  *
+  *  - q463: rank-1 ALS half-sweep — ratings r(customer, brand) = order
+  *    counts; brand factors hash-initialized (milli), user factors
+  *    solved in closed form u = Σrv / Σv² (exact BIGINT sums, one
+  *    integer division), then the brand-side update v' = Σru / Σu²;
+  *    fit error before/after in exact milli². Rank-1 ALS is power
+  *    iteration on the rating matrix — each half-sweep is one groupBy
+  *    per side, the distributed-CF shape (full-rank ALS adds a k×k
+  *    solve per key, same shuffles).
+  *  - q464: item-item collaborative filtering — brand-brand cosine
+  *    n_ab/√(n_a·n_b) over distinct customer incidence (bounded brand
+  *    domain ⇒ pair table is tiny even at 100 TB; the heavy lifting is
+  *    the distinct-incidence aggregation), top-3 neighbors per brand.
+  *  - q465: label-leakage audit — temporal split at T: "naive" features
+  *    computed over ALL time vs leak-free features restricted to < T;
+  *    users whose click features differ are exactly the
+  *    leakage-contaminated rows. Per label class: contamination rate
+  *    and mean feature inflation. The train-data hygiene gate beside
+  *    q187 (contamination) and q220 (leakage-safe encoding).
+  *  - q466: LSM write-amplification economics — per type, ingested
+  *    payload bytes; levels from a decimal-digits capacity model,
+  *    leveled WA×2 = 2 + 11·L vs tiered WA×2 = 2 + 2·L, projected
+  *    bytes written per policy. The storage-planning table beside
+  *    q136 (compaction) and q391 (bit packing).
+  *
+  * Reference analog: listing-recommendation factors, similar-listing
+  * shelves, training-table leakage checks, response-store compaction
+  * planning.
+  */
+object QueriesDN extends QueryPack {
+  import Q._
+
+  def defs: Seq[QDef] = Seq(
+
+    // --------------------------------------------------------------- q463
+    QDef("q463_als_rank1",
+      (s, dir) => {
+        val ratings = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          .agg(count(lit(1)).cast("long").as("r"))
+        ratings.cache(); ratings.count()
+        val v0 = ratings.select("brand").distinct()
+          .withColumn("v", lit(1000L) +
+            pmod(PortableHash.md5Long(col("brand"), salt = "als~"), lit(500L)))
+        val users = ratings.join(broadcast(v0), "brand")
+          .groupBy("cust").agg(
+            sum(col("r") * col("v")).cast("bigint").as("num"),
+            sum(col("v") * col("v")).cast("bigint").as("den"))
+          .selectExpr("cust", "num * 1000000 DIV den AS u")
+        val v1 = ratings.join(users, "cust")
+          .groupBy("brand").agg(
+            count(lit(1)).cast("long").as("n_raters"),
+            sum(col("r") * col("u")).cast("bigint").as("num"),
+            sum(col("u") * col("u")).cast("bigint").as("den"))
+          .selectExpr("brand", "n_raters",
+            "CASE WHEN den > 0 THEN num * 1000000 DIV den ELSE 0 END AS v1")
+        val sse0 = ratings.join(broadcast(v0), "brand").join(users, "cust")
+          .selectExpr("(r * 1000000 - u * v) DIV 1000 AS e")
+          .agg(sum(col("e") * col("e")).cast("bigint").as("sse"))
+        val sse1 = ratings.join(v1.select(col("brand"), col("v1")), "brand")
+          .join(users, "cust")
+          .selectExpr("(r * 1000000 - u * v1) DIV 1000 AS e")
+          .agg(sum(col("e") * col("e")).cast("bigint").as("sse"))
+        v1.join(broadcast(v0), "brand")
+          .crossJoin(broadcast(sse0.selectExpr("sse AS sse_before")))
+          .crossJoin(broadcast(sse1.selectExpr("sse AS sse_after")))
+          .selectExpr("brand", "n_raters", "v AS v0_milli", "v1 AS v1_milli",
+            "sse_before", "sse_after")
+          .orderBy("brand")
+      },
+      Some(s"""
+        WITH ratings AS MATERIALIZED (
+          SELECT o_custkey AS cust, p_brand AS brand, count(*) AS r
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        v0 AS MATERIALIZED (
+          SELECT brand,
+                 1000 + ${PortableHash.md5LongSql("brand", "als~")} % 500 AS v
+          FROM (SELECT DISTINCT brand FROM ratings)),
+        users AS MATERIALIZED (
+          SELECT cust, sum(r * v) * 1000000 // sum(v * v) AS u
+          FROM ratings JOIN v0 USING (brand) GROUP BY 1),
+        v1 AS MATERIALIZED (
+          SELECT brand, count(*) AS n_raters,
+                 CASE WHEN sum(u * u) > 0
+                   THEN sum(r * u) * 1000000 // sum(u * u) ELSE 0 END AS v1
+          FROM ratings JOIN users USING (cust) GROUP BY 1),
+        sse0 AS (
+          SELECT sum(e * e) AS sse FROM (
+            SELECT (r * 1000000 - u * v) // 1000 AS e
+            FROM ratings JOIN v0 USING (brand) JOIN users USING (cust))),
+        sse1 AS (
+          SELECT sum(e * e) AS sse FROM (
+            SELECT (r * 1000000 - u * v1) // 1000 AS e
+            FROM ratings JOIN v1 USING (brand) JOIN users USING (cust)))
+        SELECT v1.brand AS brand, CAST(n_raters AS BIGINT) AS n_raters,
+               CAST(v AS BIGINT) AS v0_milli, CAST(v1 AS BIGINT) AS v1_milli,
+               (SELECT CAST(sse AS BIGINT) FROM sse0) AS sse_before,
+               (SELECT CAST(sse AS BIGINT) FROM sse1) AS sse_after
+        FROM v1 JOIN v0 ON v1.brand = v0.brand
+        ORDER BY brand""")),
+
+    // --------------------------------------------------------------- q464
+    QDef("q464_item_item_cf",
+      (s, dir) => {
+        val inc = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          .distinct()
+        inc.cache(); inc.count()
+        val deg = inc.groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
+        val pairs = inc.as("x").join(inc.as("y"),
+            col("x.cust") === col("y.cust") &&
+              col("x.brand") < col("y.brand"))
+          .groupBy(col("x.brand").as("ba"), col("y.brand").as("bb"))
+          .agg(count(lit(1)).cast("bigint").as("nab"))
+        val sym = pairs.select(col("ba"), col("bb"), col("nab"))
+          .union(pairs.select(col("bb").as("ba"), col("ba").as("bb"),
+            col("nab")))
+        val scored = sym
+          .join(deg.select(col("brand").as("ba"), col("n").as("na")), "ba")
+          .join(deg.select(col("brand").as("bb"), col("n").as("nb")), "bb")
+          .selectExpr("ba", "bb", "nab",
+            "CAST(floor(CAST(nab AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro")
+        scored
+          .withColumn("rk", row_number().over(Window.partitionBy("ba")
+            .orderBy(col("cos_micro").desc, col("bb"))))
+          .where(col("rk") <= 3)
+          .selectExpr("ba AS brand", "CAST(rk AS BIGINT) AS rk",
+            "bb AS neighbor", "nab", "cos_micro")
+          .orderBy("brand", "rk")
+      },
+      Some("""
+        WITH inc AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT brand, count(*) AS n FROM inc GROUP BY 1),
+        pairs AS (
+          SELECT x.brand AS ba, y.brand AS bb, count(*) AS nab
+          FROM inc x JOIN inc y
+            ON x.cust = y.cust AND x.brand < y.brand
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT ba, bb, nab FROM pairs
+          UNION ALL SELECT bb, ba, nab FROM pairs),
+        scored AS (
+          SELECT ba, bb, nab,
+                 CAST(floor(CAST(nab AS DOUBLE)
+                   / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS cos_micro
+          FROM sym
+          JOIN deg da ON sym.ba = da.brand
+          JOIN deg db ON sym.bb = db.brand),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY ba
+            ORDER BY cos_micro DESC, bb) AS rk
+          FROM scored)
+        SELECT ba AS brand, CAST(rk AS BIGINT) AS rk, bb AS neighbor,
+               CAST(nab AS BIGINT) AS nab, cos_micro
+        FROM ranked WHERE rk <= 3
+        ORDER BY brand, rk""")),
+
+    // --------------------------------------------------------------- q465
+    QDef("q465_leakage_audit",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .selectExpr("user_id", "event_type", s"($tsMs) DIV 86400000 AS d")
+        val tcut = ev.agg((min("d") + 21).as("t0"))
+        val base = ev.crossJoin(broadcast(tcut))
+        val feats = base.groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            col("d") >= col("t0") && col("d") < col("t0") + 2, 1L)
+            .otherwise(0L)).as("label"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("bigint").as("naive_clicks"),
+          sum(when(col("event_type") === "click" && col("d") < col("t0"), 1L)
+            .otherwise(0L)).cast("bigint").as("clean_clicks"))
+        feats.groupBy("label").agg(
+          count(lit(1)).cast("long").as("users"),
+          sum(when(col("naive_clicks") =!= col("clean_clicks"), 1L)
+            .otherwise(0L)).cast("bigint").as("leaked_users"),
+          sum("naive_clicks").cast("bigint").as("naive_total"),
+          sum("clean_clicks").cast("bigint").as("clean_total"))
+          .selectExpr("label", "users", "leaked_users",
+            "leaked_users * 10000 DIV users AS leak_bp",
+            "naive_total", "clean_total",
+            "(naive_total - clean_total) * 1000 DIV users AS inflation_milli")
+          .orderBy("label")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS d
+          FROM events),
+        tcut AS (SELECT min(d) + 21 AS t0 FROM ev),
+        feats AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' AND d >= t0
+                          AND d < t0 + 2 THEN 1 ELSE 0 END) AS label,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS naive_clicks,
+                 sum(CASE WHEN event_type = 'click' AND d < t0
+                     THEN 1 ELSE 0 END) AS clean_clicks
+          FROM ev, tcut GROUP BY 1)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS users,
+               CAST(sum(CASE WHEN naive_clicks <> clean_clicks
+                 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_users,
+               CAST(sum(CASE WHEN naive_clicks <> clean_clicks
+                 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS leak_bp,
+               CAST(sum(naive_clicks) AS BIGINT) AS naive_total,
+               CAST(sum(clean_clicks) AS BIGINT) AS clean_total,
+               CAST((sum(naive_clicks) - sum(clean_clicks)) * 1000
+                 // count(*) AS BIGINT) AS inflation_milli
+        FROM feats GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------------------------- q466
+    QDef("q466_lsm_wa",
+      (s, dir) => {
+        val ingest = t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(sum(length(col("props"))).cast("bigint").as("bytes"))
+        ingest
+          .selectExpr("event_type", "bytes",
+            "greatest(bytes DIV 1048576, 1) AS mb")
+          .selectExpr("event_type", "bytes", "mb",
+            "CAST(length(CAST(mb AS STRING)) AS BIGINT) AS levels")
+          .selectExpr("event_type", "bytes", "mb", "levels",
+            "2 + 11 * levels AS wa_leveled_x2",
+            "2 + 2 * levels AS wa_tiered_x2",
+            "(bytes * (2 + 11 * levels)) DIV 2 AS written_leveled",
+            "(bytes * (2 + 2 * levels)) DIV 2 AS written_tiered")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ingest AS (
+          SELECT event_type, CAST(sum(length(props)) AS BIGINT) AS bytes
+          FROM events GROUP BY 1),
+        lv AS (
+          SELECT event_type, bytes, greatest(bytes // 1048576, 1) AS mb
+          FROM ingest),
+        lv2 AS (
+          SELECT event_type, bytes, mb,
+                 CAST(length(CAST(mb AS VARCHAR)) AS BIGINT) AS levels
+          FROM lv)
+        SELECT event_type, bytes, CAST(mb AS BIGINT) AS mb, levels,
+               CAST(2 + 11 * levels AS BIGINT) AS wa_leveled_x2,
+               CAST(2 + 2 * levels AS BIGINT) AS wa_tiered_x2,
+               CAST((bytes * (2 + 11 * levels)) // 2 AS BIGINT)
+                 AS written_leveled,
+               CAST((bytes * (2 + 2 * levels)) // 2 AS BIGINT)
+                 AS written_tiered
+        FROM lv2 ORDER BY event_type"""))
+  )
+}
