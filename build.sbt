@@ -57,6 +57,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the code cache fills, the JIT stops compiling and late-alphabet
   // queries run interpreted (10-30x). Flushing alone thrashes; 1g holds
   // the full suite.
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )

@@ -54,6 +54,9 @@ object QueriesCZ extends QueryPack {
           .selectExpr("a", "b", "1000 DIV cnt AS w")
         val adj = e.select(col("a").as("u"), col("b").as("v"), col("w"))
           .union(e.select(col("b").as("u"), col("a").as("v"), col("w")))
+        // cache: every relaxation round scans the adjacency; without it
+        // the co-purchase aggregation re-derives 2^rounds times
+        adj.cache(); adj.count()
         val src = adj.groupBy("u").agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("u")).limit(1)
           .select(col("u").as("node"), lit(0L).as("dist"))
@@ -63,8 +66,11 @@ object QueriesCZ extends QueryPack {
             .join(adj.as("adj"), col("d.node") === col("adj.u"))
             .select(col("adj.v").as("node"),
               (col("d.dist") + col("adj.w")).as("dist"))
+          // checkpoint per round: the union+agg otherwise doubles the
+          // plan each iteration (the q426 lesson)
           dist = dist.union(relax)
             .groupBy("node").agg(min("dist").cast("bigint").as("dist"))
+            .localCheckpoint()
         }
         dist.orderBy(col("dist"), col("node")).limit(25)
       },

@@ -24,5 +24,5 @@ if (( GB < 4 )); then GB=4; fi
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xms"${GB}g" -Xmx"${GB}g" -XX:+AlwaysPreTouch \
-  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+  -XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing \
   -cp "$CP" "$@"
