@@ -252,7 +252,8 @@ object QueriesDO extends QueryPack {
           .selectExpr("clusters", "n",
             "ssb_part - cf AS ssb", "ss_tot_raw - cf AS sst")
           .selectExpr("clusters", "n", "ssb", "sst", "sst - ssb AS ssw")
-        comb.selectExpr("clusters", "n",
+        comb.where(col("clusters") > 1 && col("n") > col("clusters"))
+          .selectExpr("clusters", "n",
           "CAST(floor(ssb * 1000) AS BIGINT) AS ssb_milli",
           "CAST(floor(ssw * 1000) AS BIGINT) AS ssw_milli",
           // ICC via ANOVA: (MSB - MSW) / (MSB + (m-1) MSW), m = n/clusters
@@ -294,7 +295,7 @@ object QueriesDO extends QueryPack {
                      + (CAST(n AS DOUBLE) / CAST(clusters AS DOUBLE) - 1.0)
                        * ((sst - ssb) / CAST(n - clusters AS DOUBLE))) * 1e6)
                    AS BIGINT) AS icc_micro
-          FROM xx)
+          FROM xx WHERE clusters > 1 AND n > clusters)
         SELECT CAST(clusters AS BIGINT) AS clusters, CAST(n AS BIGINT) AS n,
                ssb_milli, ssw_milli, icc_micro,
                CAST(1000000 + ((n // clusters) - 1) * icc_micro AS BIGINT)

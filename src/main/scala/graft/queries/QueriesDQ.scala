@@ -312,6 +312,7 @@ object QueriesDQ extends QueryPack {
               .cast("bigint").as("tp"),
             sum(when(col("h") >= 90 && col("member_guess"), 1L).otherwise(0L))
               .cast("bigint").as("fp"))
+          .where(col("n_train") > 0 && col("n_out") > 0)
           .selectExpr("lang", "n_train", "n_out", "tp", "fp",
             "tp * 10000 DIV n_train AS tpr_bp",
             "fp * 10000 DIV n_out AS fpr_bp",
@@ -373,6 +374,9 @@ object QueriesDQ extends QueryPack {
                  - sum(CASE WHEN h >= 90 AND avg_nll < tau THEN 1 ELSE 0 END)
                  * 10000 // sum(CASE WHEN h >= 90 THEN 1 ELSE 0 END)
                  AS BIGINT) AS advantage_bp
-        FROM perdoc, tau GROUP BY 1 ORDER BY 1"""))
+        FROM perdoc, tau GROUP BY 1
+        HAVING sum(CASE WHEN h < 80 THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN h >= 90 THEN 1 ELSE 0 END) > 0
+        ORDER BY 1"""))
   )
 }

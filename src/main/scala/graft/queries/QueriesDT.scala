@@ -252,8 +252,10 @@ object QueriesDT extends QueryPack {
             .cast("bigint").as("shows"))
           .selectExpr("n", "shows",
             "CAST(shows AS DOUBLE) / CAST(n AS DOUBLE) AS ps")
-        val levels = p.select(col("n"), col("shows"), col("ps"),
-          explode(sequence(lit(20L), lit(25L))).as("book"))
+        val levels = p.where(col("n") > 0 && col("shows") > 0 &&
+            col("shows") < col("n"))
+          .select(col("n"), col("shows"), col("ps"),
+            explode(sequence(lit(20L), lit(25L))).as("book"))
         import s.implicits._
         val scored = levels
           .select(col("book"), col("ps"), col("shows"), col("n"))
@@ -295,7 +297,8 @@ object QueriesDT extends QueryPack {
                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ps
           FROM orders),
         levels AS (SELECT p.*, gs.book
-                   FROM p, (SELECT unnest(range(20, 26)) AS book) gs),
+                   FROM p, (SELECT unnest(range(20, 26)) AS book) gs
+                   WHERE n > 0 AND shows > 0 AND shows < n),
         pmf AS (
           SELECT book, ps, shows, n, CAST(0 AS BIGINT) AS k,
                  pow(1.0 - ps, CAST(book AS DOUBLE)) AS prob

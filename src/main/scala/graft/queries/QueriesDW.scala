@@ -48,6 +48,7 @@ object QueriesDW extends QueryPack {
             "CAST(l_quantity AS BIGINT) DIV 10 + 1 AS dur",
             "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wv",
             "l_orderkey", "l_linenumber")
+          .where(expr("sup IS NOT NULL AND st IS NOT NULL AND dur IS NOT NULL AND wv IS NOT NULL"))
           .selectExpr("sup", "st", "st + dur AS en", "wv", "l_orderkey",
             "l_linenumber")
         val ranked = jobs0
@@ -104,7 +105,9 @@ object QueriesDW extends QueryPack {
                    + CAST(l_quantity AS BIGINT) // 10 + 1 AS en,
                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS wv,
                  l_orderkey, l_linenumber
-          FROM lineitem),
+          FROM lineitem
+          WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         ranked AS MATERIALIZED (
           SELECT sup, st, en, wv,
                  row_number() OVER (PARTITION BY sup
