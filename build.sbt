@@ -55,8 +55,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // trig-heavy plans run interpreted (observed 10-20x slowdowns)
   // 42+ codegen'd queries x 3 bench runs overflow smaller caches - when
   // the code cache fills, the JIT stops compiling and late-alphabet
-  // queries run interpreted (10-30x). Flushing alone thrashes; 1g holds
-  // the full suite.
+  // queries run interpreted (10-30x). Flushing alone thrashes; 1g
+  // overflowed at ~450+ codegen'd queries, 2g holds the full suite.
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )

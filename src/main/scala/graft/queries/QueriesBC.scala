@@ -178,8 +178,8 @@ object QueriesBC extends QueryPack {
                  sum(n) OVER () AS tot_n, sum(hits) OVER () AS tot_hits
           FROM b)
         SELECT bin, n, hits,
-               cum_hits * 10000 // tot_hits AS capture_bp,
-               100 * (cum_hits * tot_n) // (cum_n * tot_hits) AS lift_pct
+               CAST(cum_hits * 10000 // tot_hits AS BIGINT) AS capture_bp,
+               CAST(100 * (cum_hits * tot_n) // (cum_n * tot_hits) AS BIGINT) AS lift_pct
         FROM c ORDER BY bin DESC"""))
   )
 }

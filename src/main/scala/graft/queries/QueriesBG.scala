@@ -72,8 +72,8 @@ object QueriesBG extends QueryPack {
           FROM rev)
         SELECT decile, count(*) AS n_customers,
                CAST(sum(rev) AS BIGINT) AS rev_cents,
-               CAST(sum(rev) AS BIGINT) * 10000 // max(tot_rev) AS rev_share_bp,
-               CAST(sum(n_orders) AS BIGINT) * 1000 // count(*) AS orders_per_cust_milli
+               CAST(CAST(sum(rev) AS BIGINT) * 10000 // max(tot_rev) AS BIGINT) AS rev_share_bp,
+               CAST(CAST(sum(n_orders) AS BIGINT) * 1000 // count(*) AS BIGINT) AS orders_per_cust_milli
         FROM d GROUP BY 1 ORDER BY decile""")),
 
     // --------------------------------------------------------------- q235

@@ -123,7 +123,7 @@ object QueriesBL extends QueryPack {
                    ORDER BY rev_cp DESC, n_name) AS rk2
           FROM base)
         SELECT r_name, CAST(yr AS INT) AS yr, n_name AS top_nation,
-               rev_cp * 10000 // tot AS share_bp
+               CAST(rev_cp * 10000 // tot AS BIGINT) AS share_bp
         FROM ranked WHERE rk2 = 1
         ORDER BY r_name, yr""")),
 

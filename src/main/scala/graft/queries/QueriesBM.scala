@@ -201,7 +201,7 @@ object QueriesBM extends QueryPack {
                  sum(n) OVER (PARTITION BY event_type) AS total
           FROM c)
         SELECT event_type, CAST(rk AS BIGINT) AS rk, dow, hour, n,
-               n * 10000 // total AS cell_share_bp
+               CAST(n * 10000 // total AS BIGINT) AS cell_share_bp
         FROM r WHERE rk <= 5
         ORDER BY event_type, rk"""))
   )

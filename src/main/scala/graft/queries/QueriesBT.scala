@@ -68,8 +68,8 @@ object QueriesBT extends QueryPack {
                       ELSE 'd_10_plus' END AS bucket
           FROM toks)
         SELECT lang, bucket, count(*) AS n_words,
-               count(*) * 10000 // (sum(count(*)) OVER (PARTITION BY lang))
-                 AS share_bp
+               CAST(count(*) * 10000 // (sum(count(*)) OVER (PARTITION BY lang))
+                 AS BIGINT) AS share_bp
         FROM b GROUP BY 1, 2 ORDER BY lang, bucket""")),
 
     // --------------------------------------------------------------- q286

@@ -249,7 +249,7 @@ object QueriesBW extends QueryPack {
           SELECT *, row_number() OVER (ORDER BY k) AS rk
           FROM g WHERE gap = mx)
         SELECT CAST(k AS BIGINT) AS knee_k, CAST(n AS BIGINT) AS n_parts,
-               cum * 10000 // tot AS share_at_knee_bp,
+               CAST(cum * 10000 // tot AS BIGINT) AS share_at_knee_bp,
                CAST(gap AS BIGINT) AS gap_scaled
         FROM best WHERE rk = 1"""))
   )

@@ -100,9 +100,9 @@ object QueriesBX extends QueryPack {
                               ROWS UNBOUNDED PRECEDING) AS cum,
                  sum(v) OVER () AS tot
           FROM per_part)
-        SELECT l_partkey AS partkey, v AS v_cp, cum AS cum_cp,
-               (cum * 20) // tot - ((cum - v) * 20) // tot AS n_draws,
-               v * 10000 // tot AS weight_bp
+        SELECT l_partkey AS partkey, v AS v_cp, CAST(cum AS BIGINT) AS cum_cp,
+               CAST((cum * 20) // tot - ((cum - v) * 20) // tot AS BIGINT) AS n_draws,
+               CAST(v * 10000 // tot AS BIGINT) AS weight_bp
         FROM curve
         WHERE (cum * 20) // tot - ((cum - v) * 20) // tot >= 1
         ORDER BY cum_cp""")),

@@ -286,8 +286,9 @@ object QueriesCW extends QueryPack {
                  max(CASE WHEN rk = r - (r + 19) // 20 + 1
                      THEN mean_milli END) AS hi_milli
           FROM ranked GROUP BY 1)
-        SELECT p.segment, p.n_orders, p.point_milli, c.lo_milli, c.hi_milli,
-               c.hi_milli - c.lo_milli AS width_milli
+        SELECT p.segment, p.n_orders, CAST(p.point_milli AS BIGINT) AS point_milli,
+               CAST(c.lo_milli AS BIGINT) AS lo_milli, CAST(c.hi_milli AS BIGINT) AS hi_milli,
+               CAST(c.hi_milli - c.lo_milli AS BIGINT) AS width_milli
         FROM pt p JOIN ci c ON p.segment = c.segment
         ORDER BY p.segment""")),
 
