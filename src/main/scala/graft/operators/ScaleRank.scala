@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ordering primitives (SURVEY.md §5).
+  *
+  * `Window.orderBy(...)` with no partition key moves EVERY row to one
+  * task ("WindowExec: No Partition Defined") — correct at sf0.1, a
+  * serialization point at 100 TB. These helpers compute the exact same
+  * global row_number / running sum / ntile with a two-phase plan that
+  * stays parallel:
+  *
+  *   1. `repartitionByRange(nParts, order)` — range exchange, so every
+  *      row in partition i sorts before every row in partition j > i
+  *      (rows with equal keys land in the same partition);
+  *   2. per-partition local window keyed by `spark_partition_id()` —
+  *      balanced tasks, never a single global one;
+  *   3. per-partition counts/sums (nParts rows) cumulated on the driver
+  *      side of a broadcast join — the only unpartitioned window left
+  *      runs over ≤ nParts aggregated rows, bounded by construction.
+  *
+  * The range-partitioned input is materialized once (see
+  * [[pinnedRangeParts]]) so the offsets subtree and the main subtree
+  * read identical physical partitions.
+  *
+  * Exactness requires what the single-task form already required for
+  * oracle hash-parity: `order` must be a total order (include a
+  * tiebreaker column). Results are identical to
+  * `row_number().over(Window.orderBy(order))` / running `sum` — only
+  * the physical plan changes.
+  */
+object ScaleRank {
+
+  private val PID = "_sr_pid"
+  private val LOC = "_sr_loc"
+  private val OFF = "_sr_off"
+
+  /** Range-partition `df` on `order` and FREEZE the partition ids as
+    * data via an eager localCheckpoint.
+    *
+    * Why the checkpoint is load-bearing: RangePartitioner's sample seed
+    * derives from the shuffle RDD's id, so two plan instances of the
+    * "same" exchange (Catalyst splits them when column pruning differs
+    * between consumers — e.g. the offsets subtree needs fewer columns
+    * than the main one) draw slightly DIFFERENT range bounds. Offsets
+    * computed against instance A then joined to local ranks from
+    * instance B were off by a few rows near every boundary (observed on
+    * q385/q391: hits 412 vs 415, run-to-run unstable). Materializing
+    * once makes every consumer read the same physical rows, so the
+    * pid→offset map is exact by construction. The materialization cost
+    * is linear in the projected input — inherent to exact global
+    * ranking (any engine's global sort materializes a sorted run).
+    * On a multi-executor cluster prefer reliable checkpoint storage if
+    * executor loss matters; local checkpoint is the single-JVM form. */
+  private def pinnedRangeParts(df: DataFrame, order: Seq[Column],
+                               nParts: Int): DataFrame =
+    df.repartitionByRange(nParts, order: _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint()
+
+  /** Per-partition offsets (exclusive prefix over partition ids) of
+    * `agg` evaluated per range partition; broadcast-joined back. */
+  private def withOffsets(parts: DataFrame, agg: Column, localCol: Column,
+                          out: String): DataFrame = {
+    val offs = parts.groupBy(PID).agg(agg.as("_sr_part"))
+      .withColumn(OFF, coalesce(
+        sum("_sr_part").over(Window.orderBy(PID)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(PID), col(OFF))
+    parts.join(broadcast(offs), PID)
+      .withColumn(out, localCol + col(OFF))
+      .drop(PID, LOC, OFF)
+  }
+
+  /** Exact global `row_number() OVER (ORDER BY order)` as column `out`,
+    * without a single-partition WindowExec. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                          nParts: Int = 32): DataFrame = {
+    val parts = pinnedRangeParts(df, order, nParts)
+      .withColumn(LOC, row_number().over(
+        Window.partitionBy(PID).orderBy(order: _*)).cast("bigint"))
+    withOffsets(parts, count(lit(1)), col(LOC), out)
+  }
+
+  /** Exact global running `sum(value) OVER (ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)` as column `out`. `value` must be evaluable
+    * on `df`'s columns; sums are carried as BIGINT. */
+  def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                           out: String, nParts: Int = 32): DataFrame = {
+    val parts = pinnedRangeParts(df.withColumn("_sr_v", value.cast("bigint")),
+        order, nParts)
+      .withColumn(LOC, sum("_sr_v").over(
+        Window.partitionBy(PID).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withOffsets(parts, sum("_sr_v"), col(LOC), out).drop("_sr_v")
+  }
+
+  /** `ntile(k)` bucket from a 1-based global row number `rn` out of `n`
+    * total rows — the exact SQL ntile split (first n % k buckets get
+    * one extra row). Pure integer column math; pair with
+    * [[withGlobalRowNumber]] + a broadcast total. */
+  def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
+    // Spark's `/` on integers is double division; floor+cast is exact
+    // for counts < 2^53. CaseWhen evaluates only the taken branch, so
+    // the size=0 division can't throw (only reachable when n < k, and
+    // then rn <= cut always holds).
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("bigint")
+    val kL = lit(k.toLong)
+    val size = idiv(n, kL)
+    val rem = n % kL
+    val cut = rem * (size + lit(1L))
+    when(rn <= cut, idiv(rn - 1, size + lit(1L)) + 1)
+      .otherwise(rem + idiv(rn - cut - 1, size) + 1)
+      .cast("int")
+  }
+
+  /** Broadcast global aggregates onto every row: `agg` + broadcast
+    * crossJoin — replaces `X OVER ()` windows (which serialize) for
+    * grand totals. Scans `df` twice; at scale that beats moving every
+    * row to one task. */
+  def withTotals(df: DataFrame, aggs: Seq[Column]): DataFrame =
+    df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+}

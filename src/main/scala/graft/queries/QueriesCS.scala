@@ -134,11 +134,11 @@ object QueriesCS extends QueryPack {
     QDef("q385_lru_mrc",
       (s, dir) => {
         val B = 256 // ordinal band width for the banded range self-join
-        val acc = t(s, dir, "events")
-          .selectExpr("event_id", "ts",
-            "CAST(get_json_object(props, '$.k') AS BIGINT) AS key")
-          .withColumn("ord", row_number().over(
-            Window.orderBy(col("ts"), col("event_id"))))
+        val acc = graft.operators.ScaleRank.withGlobalRowNumber(
+          t(s, dir, "events")
+            .selectExpr("event_id", "ts",
+              "CAST(get_json_object(props, '$.k') AS BIGINT) AS key"),
+          Seq(col("ts"), col("event_id")), "ord")
         val reuse = acc
           .withColumn("prev_ord", lag("ord", 1).over(
             Window.partitionBy("key").orderBy("ord")))

@@ -39,11 +39,15 @@ object QueriesCU extends QueryPack {
     // --------------------------------------------------------------- q391
     QDef("q391_for_bitpack",
       (s, dir) => {
-        val cents = t(s, dir, "lineitem")
-          .selectExpr("l_orderkey", "l_linenumber",
-            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
-          .withColumn("rn", row_number().over(
-            Window.orderBy("l_orderkey", "l_linenumber")))
+        val cents = graft.operators.ScaleRank.withGlobalRowNumber(
+            t(s, dir, "lineitem")
+              .selectExpr("l_orderkey", "l_linenumber",
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents"),
+            // cents joins the sort key: (okey, lineno) alone is NOT
+            // unique in this data (11.8k dup pairs at sf0.01, distinct
+            // prices) — ties must be broken identically in both engines
+            // or block min/max composition is luck-of-the-sort.
+            Seq(col("l_orderkey"), col("l_linenumber"), col("cents")), "rn")
           .selectExpr("cents", "(rn - 1) DIV 128 AS blk")
         val blocks = cents.groupBy("blk")
           .agg(count(lit(1)).as("n"), min("cents").as("mn"),
@@ -64,7 +68,8 @@ object QueriesCU extends QueryPack {
       Some("""
         WITH cents AS (
           SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
-                 (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+                 (row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) - 1)
                    // 128 AS blk
           FROM lineitem),
         blocks AS (

@@ -1,30 +1,78 @@
 package graft.tools
 
 import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Dev-only: sweep EVERY registered query's physical plan for scale
-  * red flags (CartesianProduct; zero codegen spans) at a small SF. */
+  * red flags at a small SF:
+  *   - CartesianProduct anywhere;
+  *   - zero whole-stage-codegen spans;
+  *   - unpartitioned WindowExec over a non-aggregated input — the
+  *     "WindowExec: No Partition Defined" single-task serializer on an
+  *     unbounded row domain. Windows over aggregates are allowed only
+  *     when the aggregate's domain is bounded by construction; those
+  *     are reported as info (`aggwin=`) so reviewers can audit them.
+  */
 object PlanScan {
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case s: QueryStageExec => Seq(s.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case _ => p.children
+  }
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] =
+    p +: kids(p).flatMap(walk)
+
+  private def hasAggBelow(p: SparkPlan): Boolean =
+    walk(p).exists(_.isInstanceOf[BaseAggregateExec])
+
+  /** (rawGlobalWindows, aggGlobalWindows) below `root`. */
+  def globalWindows(root: SparkPlan): (Int, Int) = {
+    var raw = 0; var agg = 0
+    walk(root).foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        if (hasAggBelow(w.child)) agg += 1 else raw += 1
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        if (hasAggBelow(w.child)) agg += 1 else raw += 1
+      case _ =>
+    }
+    (raw, agg)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plan-scan")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val only = args.toSet
     var bad = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, dir)
-        df.collect()
-        val plan = df.queryExecution.executedPlan.toString
-        val cart = plan.contains("CartesianProduct")
-        val wsc = "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined
-        if (cart || !wsc) {
-          bad += 1
-          println(s"FLAG $name cartesian=$cart codegen=$wsc")
+    var aggTotal = 0
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, dir)
+          df.collect() // materialize AQE final plan
+          val plan = df.queryExecution.executedPlan
+          val planStr = plan.toString
+          val cart = planStr.contains("CartesianProduct")
+          val wsc = "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined
+          val (rawWin, aggWin) = globalWindows(plan)
+          aggTotal += aggWin
+          if (cart || !wsc || rawWin > 0) {
+            bad += 1
+            println(s"FLAG $name cartesian=$cart codegen=$wsc rawGlobalWindow=$rawWin")
+          } else if (aggWin > 0) {
+            println(s"info $name aggwin=$aggWin")
+          }
+        } catch { case e: Throwable =>
+          bad += 1; println(s"FAIL $name ${e.getMessage.take(120)}")
         }
-      } catch { case e: Throwable =>
-        bad += 1; println(s"FAIL $name ${e.getMessage.take(120)}")
       }
-    }
-    println(s"[planscan] flagged=$bad of ${SparkEntry.queries.size}")
+    println(s"[planscan] flagged=$bad of ${SparkEntry.queries.size} (agg-domain global windows: $aggTotal)")
     spark.stop()
   }
 }
