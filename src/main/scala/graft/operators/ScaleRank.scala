@@ -117,6 +117,29 @@ object ScaleRank {
       .cast("int")
   }
 
+  /** Exact `percentile_disc(num/den)` of `value` (must be integral):
+    * the smallest value whose 1-based global rank under `ORDER BY
+    * value` reaches ceil(n * num / den). Computed from per-value
+    * counts + a two-phase running sum over the DISTINCT-VALUE domain —
+    * never ranks individual rows, so the sort is over |domain|, not n.
+    * Returns a 1-row frame with column `out`.
+    *
+    * Replaces the serializing idiom
+    * `row_number over (ORDER BY v) ... WHERE rn*den >= n*num → min(v)`:
+    * rank r of the first row of value v is cum(v)-c(v)+1, so
+    * min{v : cum(v)*den >= n*num} is the value at rank
+    * ceil(n*num/den) (integer identity cum >= ceil(x/den) ⇔
+    * cum*den >= x). */
+  def quantileDisc(df: DataFrame, value: Column, num: Int, den: Int,
+                   out: String, nParts: Int = 32): DataFrame = {
+    val byV = df.groupBy(value.as("_sr_qv")).agg(count(lit(1)).as("_sr_qc"))
+    val cum = withGlobalRunningSum(byV, Seq(col("_sr_qv")), col("_sr_qc"),
+      "_sr_qcum", nParts)
+    cum.crossJoin(broadcast(cum.agg(max("_sr_qcum").as("_sr_qn"))))
+      .where(col("_sr_qcum") * den >= col("_sr_qn") * num)
+      .agg(min("_sr_qv").as(out))
+  }
+
   /** Broadcast global aggregates onto every row: `agg` + broadcast
     * crossJoin — replaces `X OVER ()` windows (which serialize) for
     * grand totals. Scans `df` twice; at scale that beats moving every

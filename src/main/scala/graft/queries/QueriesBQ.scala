@@ -164,11 +164,16 @@ object QueriesBQ extends QueryPack {
             col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("n_items"), sum("rev").cast("bigint").as("rev_cp"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nat), "nk")
+          // top-20 BEFORE the rank window and the dim joins: orderBy+limit
+          // is a distributed TakeOrderedAndProject; the row_number then
+          // runs over 20 rows instead of every customer (the FK joins are
+          // 1:1, so pre-join ranks equal post-join ranks)
+          .orderBy(col("rev_cp").desc, col("o_custkey"))
+          .limit(20)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("rev_cp").desc, col("o_custkey"))))
-          .where(col("rk") <= 20)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), "nk")
           .selectExpr("c_name", "n_name", "n_items", "rev_cp",
             "CAST(rk AS BIGINT) AS rk")
           .orderBy("rk")

@@ -69,9 +69,12 @@ object QueriesBR extends QueryPack {
           .groupBy("l_orderkey")
           .agg(count(lit(1)).as("n_lines"), sum("qty").cast("bigint").as("total_qty"))
         perOrder
+          // top-100 via orderBy+limit (distributed TakeOrderedAndProject);
+          // the rank window then covers 100 rows, not every order
+          .orderBy(col("total_qty").desc, col("l_orderkey"))
+          .limit(100)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("total_qty").desc, col("l_orderkey"))))
-          .where(col("rk") <= 100)
           .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
             col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))

@@ -44,13 +44,10 @@ object QueriesDQ extends QueryPack {
     QDef("q475_triplet_lf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val medLen = docs
-          .withColumn("rn", row_number().over(Window
-            .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1)))
-            .cast("long"))
-          .where(col("rn") * 2 === col("n") + (col("n") % 2))
-          .agg(min("n_chars").as("med"))
+        // exact median via per-value counts + two-phase cumsum — the
+        // row-ranking global window serialized at scale
+        val medLen = graft.operators.ScaleRank.quantileDisc(
+          docs, col("n_chars"), 1, 2, "med")
         val votes = docs.crossJoin(broadcast(medLen))
           .withColumn("w", TextFunctions.words(col("text")))
           .selectExpr("doc_id",
@@ -294,13 +291,8 @@ object QueriesDQ extends QueryPack {
             "CAST(floor(-ln((CAST(coalesce(c2, 0) + 1 AS DOUBLE)) / (CAST(coalesce(c1, 0) + v AS DOUBLE))) * 1e6) AS BIGINT) AS nll")
           .groupBy("doc_id", "lang", "h")
           .agg(expr("sum(nll) DIV count(*)").cast("long").as("avg_nll"))
-        val tau = perDoc
-          .withColumn("rn", row_number().over(Window
-            .orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1)))
-            .cast("long"))
-          .where(col("rn") * 2 === col("n") + (col("n") % 2))
-          .agg(min("avg_nll").as("tau"))
+        val tau = graft.operators.ScaleRank.quantileDisc(
+          perDoc, col("avg_nll"), 1, 2, "tau")
         perDoc.crossJoin(broadcast(tau))
           .withColumn("member_guess", col("avg_nll") < col("tau"))
           .groupBy("lang").agg(

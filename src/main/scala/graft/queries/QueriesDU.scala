@@ -53,13 +53,8 @@ object QueriesDU extends QueryPack {
           .selectExpr("o_orderkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x", "nl AS y")
         base.cache(); base.count()
-        def quant(cn: String, qbp: Int, out: String) = base
-          .withColumn("rn", row_number().over(Window
-            .orderBy(col(cn), col("o_orderkey"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1)))
-            .cast("long"))
-          .where(col("rn") * 10000 >= col("n") * qbp)
-          .agg(min(cn).as(out))
+        def quant(cn: String, qbp: Int, out: String) =
+          graft.operators.ScaleRank.quantileDisc(base, col(cn), qbp, 10000, out)
         val qs = quant("x", 2500, "qx25").crossJoin(quant("x", 5000, "qx50"))
           .crossJoin(quant("x", 7500, "qx75"))
           .crossJoin(quant("y", 2500, "qy25")).crossJoin(quant("y", 5000, "qy50"))

@@ -167,13 +167,8 @@ object QueriesDV extends QueryPack {
             count(lit(1)).cast("long").as("n_ev"),
             max(when(col("event_type") === "error", 1L).otherwise(0L))
               .as("has_err"))
-        val p95 = traces
-          .withColumn("rn", row_number().over(Window
-            .orderBy(col("n_ev"), col("user_id"), col("d"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1)))
-            .cast("long"))
-          .where(col("rn") * 100 >= col("n") * 95)
-          .agg(min("n_ev").as("p95"))
+        val p95 = graft.operators.ScaleRank.quantileDisc(
+          traces, col("n_ev"), 95, 100, "p95")
         val tagged = traces.crossJoin(broadcast(p95))
           .withColumn("hkeep",
             pmod(PortableHash.md5Long(concat(col("user_id"), lit("|"),
