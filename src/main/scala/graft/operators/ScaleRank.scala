@@ -117,6 +117,33 @@ object ScaleRank {
       .cast("int")
   }
 
+  /** Exact global row_number AND running sum of `value` in ONE
+    * range-partitioned pass (one checkpoint, one local sort) — for the
+    * Pareto/Lorenz-curve idiom that needs both rank and cumulative
+    * value along the same order. */
+  def withGlobalRankAndSum(df: DataFrame, order: Seq[Column], value: Column,
+                           rnOut: String, sumOut: String,
+                           nParts: Int = 32): DataFrame = {
+    val parts = pinnedRangeParts(df.withColumn("_sr_v", value.cast("bigint")),
+      order, nParts)
+    val w = Window.partitionBy(PID).orderBy(order: _*)
+    val withLoc = parts
+      .withColumn(LOC, row_number().over(w).cast("bigint"))
+      .withColumn("_sr_ls", sum("_sr_v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = parts.groupBy(PID)
+      .agg(count(lit(1)).as("_sr_c"), sum("_sr_v").as("_sr_s"))
+      .withColumn("_sr_offc", coalesce(sum("_sr_c").over(Window.orderBy(PID)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_sr_offs", coalesce(sum("_sr_s").over(Window.orderBy(PID)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(PID), col("_sr_offc"), col("_sr_offs"))
+    withLoc.join(broadcast(offs), PID)
+      .withColumn(rnOut, col(LOC) + col("_sr_offc"))
+      .withColumn(sumOut, col("_sr_ls") + col("_sr_offs"))
+      .drop(PID, LOC, "_sr_v", "_sr_ls", "_sr_offc", "_sr_offs")
+  }
+
   /** Exact `percentile_disc(num/den)` of `value` (must be integral):
     * the smallest value whose 1-based global rank under `ORDER BY
     * value` reaches ceil(n * num / den). Computed from per-value
@@ -139,6 +166,15 @@ object ScaleRank {
       .where(col("_sr_qcum") * den >= col("_sr_qn") * num)
       .agg(min("_sr_qv").as(out))
   }
+
+  /** Exact global `ntile(k) OVER (ORDER BY order)` as column `out`,
+    * via two-phase row_number + broadcast total + integer ntile math. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String,
+                      nParts: Int = 32): DataFrame =
+    withTotals(withGlobalRowNumber(df, order, "_sr_rn", nParts),
+        Seq(count(lit(1)).as("_sr_n")))
+      .withColumn(out, ntileFromRowNumber(col("_sr_rn"), col("_sr_n"), k))
+      .drop("_sr_rn", "_sr_n")
 
   /** Broadcast global aggregates onto every row: `agg` + broadcast
     * crossJoin — replaces `X OVER ()` windows (which serialize) for

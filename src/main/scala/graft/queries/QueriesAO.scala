@@ -39,14 +39,16 @@ object QueriesAO extends QueryPack {
             sum("vc").cast("bigint").as("monetary"))
           .crossJoin(broadcast(mx))
           .withColumn("recency", col("mxd") - col("last_day"))
-        val scored = base
-          .withColumn("nu", count(lit(1)).over(Window.partitionBy()))
-          .withColumn("rn_r", row_number().over(
-            Window.orderBy(col("recency").desc, col("user_id"))))
-          .withColumn("rn_f", row_number().over(
-            Window.orderBy(col("freq"), col("user_id"))))
-          .withColumn("rn_m", row_number().over(
-            Window.orderBy(col("monetary"), col("user_id"))))
+        // three exact global ranks via two-phase ScaleRank (chained
+        // checkpoints) instead of three single-task windows over all users
+        val SR = graft.operators.ScaleRank
+        val ranked = SR.withGlobalRowNumber(
+          SR.withGlobalRowNumber(
+            SR.withGlobalRowNumber(base,
+              Seq(col("recency").desc, col("user_id")), "rn_r"),
+            Seq(col("freq"), col("user_id")), "rn_f"),
+          Seq(col("monetary"), col("user_id")), "rn_m")
+        val scored = SR.withTotals(ranked, Seq(count(lit(1)).as("nu")))
           .selectExpr("user_id", "monetary",
             "(rn_r - 1) * 5 DIV nu + 1 AS r",
             "(rn_f - 1) * 5 DIV nu + 1 AS f",
@@ -152,11 +154,12 @@ object QueriesAO extends QueryPack {
             "user_id * 1000 + sid AS bid")
           .unionByName(sess.selectExpr("end_ms + 1 AS ts", "-1 AS delta",
             "user_id * 1000 + sid AS bid"))
-        val sweep = Window.orderBy(col("ts"), col("delta").desc, col("bid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bounds
-          .withColumn("open", sum("delta").over(sweep))
-          .withColumn("peak_all", max("open").over(Window.partitionBy()))
+        // two-phase global sweep: the +1/−1 running sum stays parallel
+        val SR = graft.operators.ScaleRank
+        val opened = SR.withGlobalRunningSum(bounds,
+          Seq(col("ts"), col("delta").desc, col("bid")), col("delta"), "open")
+        opened
+          .crossJoin(broadcast(opened.agg(max("open").as("peak_all"))))
           .agg(max("open").cast("bigint").as("peak"),
             min(when(col("open") === col("peak_all"), col("ts")))
               .as("first_peak_ts"),

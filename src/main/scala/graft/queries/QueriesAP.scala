@@ -66,14 +66,13 @@ object QueriesAP extends QueryPack {
           .where(col("event_type") === "purchase")
           .selectExpr("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc")
           .groupBy("user_id").agg(sum("vc").cast("bigint").as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("user_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = rev
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("rev").desc, col("user_id"))))
-          .withColumn("cum", sum("rev").over(w))
-          .withColumn("nu", count(lit(1)).over(Window.partitionBy()))
-          .withColumn("tot", sum("rev").over(Window.partitionBy()))
+        // exact rank + Lorenz cumsum in one two-phase pass; totals via
+        // broadcast agg — no single-task window over all users
+        val SR = graft.operators.ScaleRank
+        val ranked = SR.withTotals(
+          SR.withGlobalRankAndSum(rev,
+            Seq(col("rev").desc, col("user_id")), col("rev"), "rn", "cum"),
+          Seq(count(lit(1)).as("nu"), sum("rev").cast("bigint").as("tot")))
         ranked.agg(
           max("nu").as("n_users"),
           max("tot").as("total_rev_cents"),

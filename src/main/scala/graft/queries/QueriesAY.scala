@@ -43,12 +43,15 @@ object QueriesAY extends QueryPack {
       (s, dir) => {
         val vals = t(s, dir, "lineitem").where(col("l_extendedprice").isNotNull)
           .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
-        val ranked = vals
-          .withColumn("rn", row_number().over(Window.orderBy("cents")))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .selectExpr("cents", "(rn - 1) * 10 DIV n AS raw_bin")
-        val valBin = ranked.groupBy("cents")
-          .agg(min("raw_bin").as("bin"), count(lit(1)).as("cnt"))
+        // rank only the DISTINCT-value domain: per-value counts + two-
+        // phase cumsum; a value's first global rank is cum - cnt + 1, and
+        // min(raw_bin) over a tie group is the bin of that first rank
+        val SR = graft.operators.ScaleRank
+        val byV = vals.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        val valBin = SR.withTotals(
+            SR.withGlobalRunningSum(byV, Seq(col("cents")), col("cnt"), "cum"),
+            Seq(sum("cnt").cast("bigint").as("n")))
+          .selectExpr("cents", "cnt", "(cum - cnt) * 10 DIV n AS bin")
         valBin.groupBy("bin")
           .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
             sum("cnt").cast("bigint").as("n_rows"),

@@ -46,10 +46,13 @@ object QueriesBG extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
           .groupBy("o_custkey")
           .agg(sum("cents").cast("bigint").as("rev"), count(lit(1)).as("n_orders"))
-        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-        val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        rev.withColumn("decile", ntile(10).over(w))
-          .withColumn("tot_rev", sum("rev").over(tot))
+        // two-phase global ntile + broadcast total (was: single-task
+        // ntile window + sum-over-() across all customers)
+        val SR = graft.operators.ScaleRank
+        SR.withTotals(
+            SR.withGlobalNtile(rev,
+              Seq(col("rev").desc, col("o_custkey")), 10, "decile"),
+            Seq(sum("rev").cast("bigint").as("tot_rev")))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_customers"),
             sum("rev").cast("bigint").as("rev_cents"),

@@ -70,14 +70,14 @@ object QueriesBJ extends QueryPack {
         val midMs = millisOf("1998-01-01 00:00:00")
         def deciles(post: Boolean) = {
           val f = if (post) s"ord_ms >= ${midMs}L" else s"ord_ms < ${midMs}L"
-          val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-          t(s, dir, "orders")
-            .selectExpr("o_custkey",
-              "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms",
-              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
-            .where(expr(f))
-            .groupBy("o_custkey").agg(sum("cents").cast("bigint").as("rev"))
-            .withColumn("decile", ntile(10).over(w))
+          graft.operators.ScaleRank.withGlobalNtile(
+            t(s, dir, "orders")
+              .selectExpr("o_custkey",
+                "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms",
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+              .where(expr(f))
+              .groupBy("o_custkey").agg(sum("cents").cast("bigint").as("rev")),
+            Seq(col("rev").desc, col("o_custkey")), 10, "decile")
         }
         val pre = deciles(post = false)
           .select(col("o_custkey"), col("decile").as("pre_decile"))
