@@ -167,9 +167,12 @@ object QueriesBR extends QueryPack {
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), "s_nationkey")
+          // top-20 via orderBy+limit (distributed TakeOrderedAndProject);
+          // the rank window then covers 20 rows
+          .orderBy(col("n_orders").desc, col("s_name"))
+          .limit(20)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("n_orders").desc, col("s_name"))))
-          .where(col("rk") <= 20)
           .selectExpr("CAST(rk AS BIGINT) AS rk", "s_name", "n_name", "n_orders")
           .orderBy("rk")
       },

@@ -52,9 +52,10 @@ object QueriesBS extends QueryPack {
           .agg(min(struct(col("unit_cents"), col("l_suppkey"))).as("best"))
           .selectExpr("l_partkey", "best.unit_cents AS unit_cents",
             "best.l_suppkey AS best_supp")
+          .orderBy(col("unit_cents"), col("l_partkey"))
+          .limit(50)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("unit_cents"), col("l_partkey"))))
-          .where(col("rk") <= 50)
           .join(broadcast(supp), col("best_supp") === col("s_suppkey"))
           .join(broadcast(nat), "nk")
           .selectExpr("CAST(rk AS BIGINT) AS rk", "l_partkey AS partkey",
@@ -90,13 +91,14 @@ object QueriesBS extends QueryPack {
           .selectExpr("l_partkey", s"$revExpr AS rev")
           .groupBy("l_partkey")
           .agg(sum("rev").cast("bigint").as("value_cp"))
-        perPart
-          .withColumn("total_cp", sum("value_cp").over(Window.partitionBy()))
+        graft.operators.ScaleRank.withTotals(perPart,
+            Seq(sum("value_cp").cast("bigint").as("total_cp")))
           .where(col("value_cp") * 1000L > col("total_cp"))
           .withColumn("share_bp", expr("value_cp * 10000 DIV total_cp"))
+          .orderBy(col("value_cp").desc, col("l_partkey"))
+          .limit(25)
           .withColumn("rk", row_number().over(Window.orderBy(
             col("value_cp").desc, col("l_partkey"))))
-          .where(col("rk") <= 25)
           .selectExpr("CAST(rk AS BIGINT) AS rk", "l_partkey AS partkey",
             "value_cp", "share_bp")
           .orderBy("rk")

@@ -211,20 +211,17 @@ object QueriesBW extends QueryPack {
         val perPart = t(s, dir, "lineitem")
           .selectExpr("l_partkey", s"$revExpr AS rev")
           .groupBy("l_partkey").agg(sum("rev").cast("bigint").as("v"))
-        val wAll = Window.partitionBy(lit(1))
-        val wOrd = Window.partitionBy(lit(1)).orderBy(col("v").desc, col("l_partkey"))
-        val curve = perPart
-          .withColumn("k", row_number().over(wOrd))
-          .withColumn("cum", sum("v").over(wOrd))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .withColumn("tot", sum("v").over(wAll))
+        val SR = graft.operators.ScaleRank
+        val curve = SR.withTotals(
+            SR.withGlobalRankAndSum(perPart,
+              Seq(col("v").desc, col("l_partkey")), col("v"), "k", "cum"),
+            Seq(count(lit(1)).as("n"), sum("v").cast("bigint").as("tot")))
           // chord from (0,0) to (n, tot): gap(k) ∝ n·cum − k·tot (exact)
           .selectExpr("k", "cum", "n", "tot", "n * cum - k * tot AS gap")
         curve
-          .withColumn("mx", max("gap").over(wAll))
+          .crossJoin(broadcast(curve.agg(max("gap").as("mx"))))
           .where(col("gap") === col("mx"))
-          .withColumn("rk", row_number().over(Window.partitionBy(lit(1)).orderBy("k")))
-          .where(col("rk") === 1)
+          .orderBy("k").limit(1)
           .selectExpr("CAST(k AS BIGINT) AS knee_k", "CAST(n AS BIGINT) AS n_parts",
             "cum * 10000 DIV tot AS share_at_knee_bp", "gap AS gap_scaled")
       },

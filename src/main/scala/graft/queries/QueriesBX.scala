@@ -75,11 +75,11 @@ object QueriesBX extends QueryPack {
         val perPart = t(s, dir, "lineitem")
           .selectExpr("l_partkey", s"$revExpr AS rev")
           .groupBy("l_partkey").agg(sum("rev").cast("bigint").as("v"))
-        val wAll = Window.partitionBy(lit(1))
-        val wOrd = Window.partitionBy(lit(1)).orderBy(col("v").desc, col("l_partkey"))
-        perPart
-          .withColumn("cum", sum("v").over(wOrd))
-          .withColumn("tot", sum("v").over(wAll))
+        val SR = graft.operators.ScaleRank
+        SR.withTotals(
+            SR.withGlobalRunningSum(perPart,
+              Seq(col("v").desc, col("l_partkey")), col("v"), "cum"),
+            Seq(sum("v").cast("bigint").as("tot")))
           .withColumn("n_draws",
             expr(s"(cum * $k) DIV tot - ((cum - v) * $k) DIV tot"))
           .where(col("n_draws") >= 1)

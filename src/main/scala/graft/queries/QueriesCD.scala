@@ -203,11 +203,12 @@ object QueriesCD extends QueryPack {
           .orderBy(col("rev").desc, col("l_partkey"))
         val candidates = rev.withColumn("rk_b", row_number().over(wB))
           .where(col("rk_b") <= 5)
-        // phase 2: global top-5 from the ≤80 candidates
+        // phase 2: global top-5 from the ≤80 candidates via
+        // orderBy+limit (TakeOrderedAndProject, no global window at all)
         val wG = Window.orderBy(col("rev").desc, col("l_partkey"))
         candidates
+          .orderBy(col("rev").desc, col("l_partkey")).limit(5)
           .withColumn("rk", row_number().over(wG).cast("long"))
-          .where(col("rk") <= 5)
           .select("rk", "l_partkey", "rev")
           .orderBy("rk")
       },
