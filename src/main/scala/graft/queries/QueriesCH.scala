@@ -143,8 +143,8 @@ object QueriesCH extends QueryPack {
           col("n_chars"), col("doc_id"))
         val wS = Window.partitionBy("source").orderBy("n_chars", "doc_id")
         val wG = Window.orderBy("n_chars", "doc_id")
-        val globalRanked = docs
-          .withColumn("grn", row_number().over(wG).cast("long"))
+        val globalRanked = graft.operators.ScaleRank.withGlobalRowNumber(
+            docs, Seq(col("n_chars"), col("doc_id")), "grn")
           .select(col("grn"), col("n_chars").as("norm_v"))
         val nG = docs.agg(count(lit(1)).as("n_g"))
         docs

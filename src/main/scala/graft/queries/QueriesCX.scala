@@ -78,12 +78,10 @@ object QueriesCX extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
           .join(lines, col("o_orderkey") === col("l_orderkey"))
           .select("o_orderkey", "cents", "y")
-        val wAll = Window.orderBy("cents", "o_orderkey")
-        val med = ord
-          .withColumn("rn", row_number().over(wAll))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .where(expr("rn = (n + 1) DIV 2"))
-          .select(col("cents").as("c0"))
+        // value at rank ceil(n/2) == percentile_disc(1/2): exact, via
+        // distinct-value cumsum (no single-task window over all orders)
+        val med = graft.operators.ScaleRank.quantileDisc(
+          ord, col("cents"), 1, 2, "c0")
         val sided = ord.crossJoin(broadcast(med))
           .withColumn("h", expr("c0 DIV 4"))
           .where(col("cents") >= col("c0") - col("h") &&

@@ -284,11 +284,8 @@ object QueriesCY extends QueryPack {
         val pc = ev.groupBy("user_id").agg(
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .cast("bigint").as("p"))
-        val med = pc
-          .withColumn("rn", row_number().over(Window.orderBy("p", "user_id")))
-          .withColumn("nu", count(lit(1)).over(Window.partitionBy()))
-          .where(expr("rn = (nu + 1) DIV 2"))
-          .select(col("p").as("med"))
+        val med = graft.operators.ScaleRank.quantileDisc(
+          pc, col("p"), 1, 2, "med")
         val bins = pc.crossJoin(broadcast(med))
           .withColumn("dec",
             PortableHash.md5Long(col("user_id"), salt = "iso~") % 10)

@@ -127,15 +127,16 @@ object QueriesDB extends QueryPack {
             sum("cents").cast("bigint").as("rev"),
             sum("q").cast("bigint").as("qty"),
             countDistinct("l_orderkey").cast("long").as("nord"))
-        val wN = Window.partitionBy(lit(1))
-        val ranked = m
-          .withColumn("r_rev", row_number().over(
-            Window.orderBy(col("rev").desc, col("l_partkey"))).cast("long"))
-          .withColumn("r_qty", row_number().over(
-            Window.orderBy(col("qty").desc, col("l_partkey"))).cast("long"))
-          .withColumn("r_ord", row_number().over(
-            Window.orderBy(col("nord").desc, col("l_partkey"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(wN).cast("long"))
+        // three exact global ranks, two-phase; total via broadcast agg
+        val SR = graft.operators.ScaleRank
+        val ranked = SR.withTotals(
+          SR.withGlobalRowNumber(
+            SR.withGlobalRowNumber(
+              SR.withGlobalRowNumber(m,
+                Seq(col("rev").desc, col("l_partkey")), "r_rev"),
+              Seq(col("qty").desc, col("l_partkey")), "r_qty"),
+            Seq(col("nord").desc, col("l_partkey")), "r_ord"),
+          Seq(count(lit(1)).cast("long").as("n")))
         ranked.selectExpr("l_partkey", "r_rev", "r_qty", "r_ord",
           "(n - r_rev) + (n - r_qty) + (n - r_ord) AS borda")
           .orderBy(col("borda").desc, col("l_partkey"))

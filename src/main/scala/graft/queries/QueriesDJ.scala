@@ -116,15 +116,16 @@ object QueriesDJ extends QueryPack {
       (s, dir) => {
         val names = t(s, dir, "part")
           .select(col("p_partkey"), col("p_name")).distinct()
-        val w = Window.orderBy(col("p_name"), col("p_partkey"))
-        val seq = names
-          .withColumn("n1", lead("p_name", 1).over(w))
-          .withColumn("n2", lead("p_name", 2).over(w))
-          .withColumn("n3", lead("p_name", 3).over(w))
-        val pairs = seq.selectExpr("p_name", "n1 AS cand")
-          .union(seq.selectExpr("p_name", "n2 AS cand"))
-          .union(seq.selectExpr("p_name", "n3 AS cand"))
-          .where(col("cand").isNotNull)
+        // two-phase sorted neighborhood: global row_number via
+        // ScaleRank, then an equi-join on rn+k replaces the three
+        // global lead() windows (which serialized all names)
+        val ranked = graft.operators.ScaleRank.withGlobalRowNumber(
+          names, Seq(col("p_name"), col("p_partkey")), "rn")
+        val pairs = ranked.select(col("p_name"), col("rn"))
+          .withColumn("k", explode(expr("array(1L, 2L, 3L)")))
+          .withColumn("rn2", col("rn") + col("k"))
+          .join(ranked.select(col("rn").as("rn2"), col("p_name").as("cand")),
+            "rn2")
           .withColumn("dist", levenshtein(col("p_name"), col("cand")))
         pairs.groupBy(substring(col("p_name"), 1, 1).as("initial")).agg(
           count(lit(1)).cast("long").as("compared"),
