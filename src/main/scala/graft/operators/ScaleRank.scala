@@ -89,13 +89,39 @@ object ScaleRank {
     * UNBOUNDED PRECEDING)` as column `out`. `value` must be evaluable
     * on `df`'s columns; sums are carried as BIGINT. */
   def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-                           out: String, nParts: Int = 32): DataFrame = {
-    val parts = pinnedRangeParts(df.withColumn("_sr_v", value.cast("bigint")),
-        order, nParts)
-      .withColumn(LOC, sum("_sr_v").over(
-        Window.partitionBy(PID).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withOffsets(parts, sum("_sr_v"), col(LOC), out).drop("_sr_v")
+                           out: String, nParts: Int = 32): DataFrame =
+    withGlobalRunningSums(df, order, Seq(value -> out), nParts)
+
+  /** N exact global running sums along ONE order in one pass (one
+    * range exchange, one local sort, one broadcast offsets join). */
+  def withGlobalRunningSums(df: DataFrame, order: Seq[Column],
+                            values: Seq[(Column, String)],
+                            nParts: Int = 32): DataFrame = {
+    val vcols = values.indices.map(i => s"_sr_v$i")
+    val withVals = values.zip(vcols).foldLeft(df) {
+      case (d, ((v, _), vc)) => d.withColumn(vc, v.cast("bigint"))
+    }
+    val parts = pinnedRangeParts(withVals, order, nParts)
+    val w = Window.partitionBy(PID).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(PID)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLoc = vcols.foldLeft(parts) {
+      (d, vc) => d.withColumn(s"_sr_l$vc", sum(vc).over(w))
+    }
+    val aggs = vcols.map(vc => sum(vc).as(s"_sr_p$vc"))
+    val offs = vcols.foldLeft(
+        parts.groupBy(PID).agg(aggs.head, aggs.tail: _*)) {
+        (d, vc) => d.withColumn(s"_sr_o$vc",
+          coalesce(sum(s"_sr_p$vc").over(wOff), lit(0L)))
+      }
+      .select((col(PID) +: vcols.map(vc => col(s"_sr_o$vc"))): _*)
+    values.zip(vcols).foldLeft(withLoc.join(broadcast(offs), PID)) {
+        case (d, ((_, out), vc)) =>
+          d.withColumn(out, col(s"_sr_l$vc") + col(s"_sr_o$vc"))
+      }
+      .drop(PID +: vcols.flatMap(vc =>
+        Seq(vc, s"_sr_l$vc", s"_sr_o$vc")): _*)
   }
 
   /** `ntile(k)` bucket from a 1-based global row number `rn` out of `n`

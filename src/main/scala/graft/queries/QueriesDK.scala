@@ -208,11 +208,10 @@ object QueriesDK extends QueryPack {
             sum(ycol).cast("bigint").as("sv"))
           val tot = byV.agg(sum("c").cast("bigint").as("nt"),
             sum("sv").cast("bigint").as("st"))
-          val cand = byV
-            .withColumn("nl", sum("c").over(Window.orderBy("v")
-              .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-            .withColumn("sl", sum("sv").over(Window.orderBy("v")
-              .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          // both split-candidate cumsums in one two-phase pass over the
+          // distinct-value domain (was: two single-task global windows)
+          val cand = graft.operators.ScaleRank.withGlobalRunningSums(
+              byV, Seq(col("v")), Seq(col("c") -> "nl", col("sv") -> "sl"))
             .crossJoin(broadcast(tot))
             .where(col("nl") < col("nt"))
             .selectExpr("v", "nl", "sl", "nt", "st",
@@ -326,23 +325,28 @@ object QueriesDK extends QueryPack {
         val vals = t(s, dir, "orders")
           .selectExpr("o_orderkey", "o_custkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v")
-        val ranked = vals
-          .withColumn("rn", row_number().over(Window.orderBy("v", "o_orderkey"))
-            .cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1)))
-            .cast("long"))
-        ranked.cache(); ranked.count()
+        // quantile cuts from ONE distinct-value cumsum (all 8 cut points
+        // read the same two-phase frame); the per-row global rank window
+        // is gone — rows only need the broadcast total n
+        val SR = graft.operators.ScaleRank
+        val byV = vals.groupBy("v").agg(count(lit(1)).as("c"))
+        val cum = SR.withTotals(
+          SR.withGlobalRunningSum(byV, Seq(col("v")), col("c"), "cumv"),
+          Seq(sum("c").cast("bigint").as("n")))
         def cutsFor(tree: Int): DataFrame = {
           val h1 = math.abs((tree * 2654435761L + 17) % 80) + 10
           val h2 = math.abs((tree * 40503L + 5381) % 80) + 10
           val (lo, hi) = (math.min(h1, h2), math.max(h1, h2) + 1)
-          ranked.where(col("rn") * 100 >= col("n") * lo)
+          cum.where(col("cumv") * 100 >= col("n") * lo)
             .agg(min("v").as("c1")).crossJoin(
-              ranked.where(col("rn") * 100 >= col("n") * hi)
+              cum.where(col("cumv") * 100 >= col("n") * hi)
                 .agg(min("v").as("c2")))
             .selectExpr(s"CAST($tree AS BIGINT) AS tree", "c1", "c2")
         }
         val cuts = (1 to 4).map(cutsFor).reduce(_ union _)
+        val ranked = SR.withTotals(vals,
+          Seq(count(lit(1)).cast("long").as("n")))
+        ranked.cache(); ranked.count()
         val cells = ranked.crossJoin(broadcast(cuts))
           .selectExpr("o_orderkey", "o_custkey", "tree", "n",
             "CASE WHEN v < c1 THEN 0 WHEN v < c2 THEN 1 ELSE 2 END AS cell")
