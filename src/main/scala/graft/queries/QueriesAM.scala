@@ -107,14 +107,12 @@ object QueriesAM extends QueryPack {
         val counts = halves.groupBy("vc")
           .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"),
             sum(when(col("h") === 2, 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy("vc")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = halves.agg(
           sum(when(col("h") === 1, 1L).otherwise(0L)).cast("bigint").as("n1"),
           sum(when(col("h") === 2, 1L).otherwise(0L)).cast("bigint").as("n2"))
-        counts
-          .withColumn("cum1", sum("c1").over(w))
-          .withColumn("cum2", sum("c2").over(w))
+        // both ECDF cumsums two-phase over the distinct-value domain
+        graft.operators.ScaleRank.withGlobalRunningSums(counts,
+            Seq(col("vc")), Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
           .crossJoin(broadcast(tot))
           .withColumn("dev", abs(expr("cum1 * n2 - cum2 * n1")))
           .agg(max("n1").as("n1"), max("n2").as("n2"),

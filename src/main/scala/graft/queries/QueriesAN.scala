@@ -35,9 +35,12 @@ object QueriesAN extends QueryPack {
         // query = the 3 terms with df closest to N/4: mid-frequency at any
         // SF, and idf > 0 by construction (df < N/2)
         val terms = dfreq.crossJoin(broadcast(stats.select("n_docs")))
+          // top-3 via orderBy+limit (TakeOrderedAndProject over the
+          // vocab); the rank window then covers 3 rows
+          .orderBy(abs(col("df") * 4 - col("n_docs")), col("tok"))
+          .limit(3)
           .withColumn("rnk", row_number().over(
             Window.orderBy(abs(col("df") * 4 - col("n_docs")), col("tok"))))
-          .where(col("rnk") <= 3)
           .select(col("tok"), col("df"), (col("rnk") + 9).as("rnk"))
         val contrib = tf.join(broadcast(terms), "tok")
           .join(dl, "doc_id")

@@ -143,8 +143,8 @@ object QueriesAS extends QueryPack {
         val tf = t(s, dir, "documents")
           .select(explode(words(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("tf"))
-        tf.withColumn("rn", row_number().over(
-            Window.orderBy(col("tf").desc, col("tok"))))
+        graft.operators.ScaleRank.withGlobalRowNumber(tf,
+            Seq(col("tf").desc, col("tok")), "rn")
           .selectExpr("CAST(length(bin(rn)) - 1 AS BIGINT) AS x",
             "CAST(length(bin(tf)) - 1 AS BIGINT) AS y")
           .agg(count(lit(1)).as("n"),

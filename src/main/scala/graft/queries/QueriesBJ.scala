@@ -138,9 +138,9 @@ object QueriesBJ extends QueryPack {
     // --------------------------------------------------------------- q249
     QDef("q249_novelty_curve",
       (s, dir) => {
-        val w = Window.orderBy("doc_id")
-        val docDecile = t(s, dir, "documents")
-          .select(col("doc_id")).withColumn("decile", ntile(10).over(w))
+        val docDecile = graft.operators.ScaleRank.withGlobalNtile(
+          t(s, dir, "documents").select(col("doc_id")),
+          Seq(col("doc_id")), 10, "decile")
         val firstDoc = t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .where(size(col("ws")) >= 3)
