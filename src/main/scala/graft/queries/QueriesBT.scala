@@ -155,8 +155,9 @@ object QueriesBT extends QueryPack {
           .cache()
         docs.count() // eager: read by pre and both verify sides
         // global ascending-df total order on tokens (vocab-sized, tiny)
-        val rk = toks.groupBy("h").agg(count(lit(1)).as("df"))
-          .withColumn("wrank", row_number().over(Window.orderBy("df", "h")))
+        val rk = graft.operators.ScaleRank.withGlobalRowNumber(
+            toks.groupBy("h").agg(count(lit(1)).as("df")),
+            Seq(col("df"), col("h")), "wrank")
           .select("h", "wrank")
         val pre = toks
           .join(broadcast(rk), "h")

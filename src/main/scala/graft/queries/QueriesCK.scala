@@ -143,8 +143,8 @@ object QueriesCK extends QueryPack {
           .withColumn("w", TextFunctions.words(col("text")))
           .select(col("source"), explode(col("w")).as("word"))
         val dict = toks.groupBy("word").agg(count(lit(1)).as("f"))
-        val wR = Window.orderBy(col("f").desc, col("word"))
-        val ranked = dict.withColumn("rank", row_number().over(wR).cast("long"))
+        val ranked = graft.operators.ScaleRank.withGlobalRowNumber(
+            dict, Seq(col("f").desc, col("word")), "rank")
           .selectExpr("word", "rank",
             "CASE WHEN rank <= 128 THEN 1L WHEN rank <= 16384 THEN 2L ELSE 3L END AS varint_bytes")
         toks.join(ranked, "word")
