@@ -171,8 +171,18 @@ object QueriesCA extends QueryPack {
         }
         val perSource = deciles(docs, Seq("source"))
           .select(col("source"), col("k"), col("n_chars").as("v_source"))
-        val global = deciles(docs.withColumn("g", lit(1)), Seq("g"))
-          .select(col("k"), col("n_chars").as("v_global"))
+        // global arm: partitionBy(lit(1)) constant-folds to an
+        // unpartitioned (single-task) window — use the distinct-value
+        // cumsum instead; value at rank ceil(k·n/10) ⇔ min v with
+        // cum(v)·10 ≥ k·n
+        val SR = graft.operators.ScaleRank
+        val byV = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+        val global = SR.withTotals(
+            SR.withGlobalRunningSum(byV, Seq(col("n_chars")), col("c"), "cum"),
+            Seq(sum("c").cast("bigint").as("nn")))
+          .withColumn("k", explode(array((1 to 9).map(lit(_)): _*)))
+          .where(col("cum") * 10 >= col("k") * col("nn"))
+          .groupBy("k").agg(min("n_chars").as("v_global"))
         perSource.join(broadcast(global), "k")
           .selectExpr("source", "CAST(k AS INT) AS k", "v_source", "v_global",
             "v_source - v_global AS gap")

@@ -169,9 +169,9 @@ object QueriesCB extends QueryPack {
               + s" + ((($gy) DIV ${1L << k}) % 2) * ${1L << (2 * k + 1)}")
             .mkString(" + ")
         def pages(df: DataFrame, orderCols: Seq[String], layout: String) = {
-          df.withColumn("pg", expr(
-              s"(row_number() OVER (ORDER BY ${orderCols.mkString(", ")}) - 1)"
-                + s" DIV $pageRows"))
+          graft.operators.ScaleRank.withGlobalRowNumber(
+              df, orderCols.map(col), "_rn")
+            .withColumn("pg", expr(s"(_rn - 1) DIV $pageRows"))
             .groupBy("pg")
             .agg(min("ix").as("x0"), max("ix").as("x1"),
               min("iy").as("y0"), max("iy").as("y1"))

@@ -130,8 +130,12 @@ object QueriesDU extends QueryPack {
         val o = t(s, dir, "orders")
           .selectExpr("o_orderkey",
             "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ms")
-        val ranked = o.withColumn("rn", row_number().over(Window
-          .orderBy(col("ms"), col("o_orderkey"))).cast("long"))
+        // only ranks 1..250 are ever read: top-250 via orderBy+limit,
+        // then the rank window covers 250 rows (was: global rank over
+        // every order, hidden behind the cache)
+        val ranked = o.orderBy("ms", "o_orderkey").limit(250)
+          .withColumn("rn", row_number().over(Window
+            .orderBy(col("ms"), col("o_orderkey"))).cast("long"))
         ranked.cache(); ranked.count()
         val offsetPage = ranked.where(col("rn") >= 201 && col("rn") <= 250)
           .select("o_orderkey", "ms")
@@ -182,9 +186,10 @@ object QueriesDU extends QueryPack {
         val items = t(s, dir, "orders")
           .selectExpr("o_orderkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS wv")
+          // top-200 via orderBy+limit; the rank window covers 200 rows
+          .orderBy(col("wv").desc, col("o_orderkey")).limit(200)
           .withColumn("rk", row_number().over(Window
             .orderBy(col("wv").desc, col("o_orderkey"))).cast("long"))
-          .where(col("rk") <= 200)
         val cap = items.agg(expr("(sum(wv) DIV 10) * 11 DIV 10")
           .cast("long").as("cap"))
         val seq0 = items.crossJoin(broadcast(cap))

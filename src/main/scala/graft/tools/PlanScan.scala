@@ -22,14 +22,23 @@ object PlanScan {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
     case s: QueryStageExec => Seq(s.plan)
     case r: ReusedExchangeExec => Seq(r.child)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(m.relation.cachedPlan) // windows hidden behind .cache() count too
     case _ => p.children
   }
 
   private def walk(p: SparkPlan): Seq[SparkPlan] =
     p +: kids(p).flatMap(walk)
 
+  /** A window input is bounded when an aggregate OR a limit sits
+    * below it — a window over a top-k's ≤k rows never serializes
+    * meaningful volume. */
   private def hasAggBelow(p: SparkPlan): Boolean =
-    walk(p).exists(_.isInstanceOf[BaseAggregateExec])
+    walk(p).exists { n =>
+      n.isInstanceOf[BaseAggregateExec] ||
+        n.getClass.getSimpleName.contains("Limit") ||
+        n.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]
+    }
 
   /** (rawGlobalWindows, aggGlobalWindows) below `root`. */
   def globalWindows(root: SparkPlan): (Int, Int) = {
