@@ -25,15 +25,64 @@ object MediaPipeline {
       doc_id: Long, source: String, byte_len: Int, magic_hex: String,
       width: Int, height: Int, n_frames: Int, checksum: Long)
 
-  /** STUB CODEC — deterministic fake decode. A real implementation reads
-    * the container header; this derives plausible dimensions from the id
-    * and checksums the payload so the plumbing is fully testable. */
+  /** Pluggable codec: decode a payload to (width, height, n_frames) or
+    * None when the bytes are undecodable (→ quarantine). Implementations
+    * must be Serializable — they ship to executors inside the
+    * mapPartitions closures. */
+  trait MediaCodec extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): Option[(Int, Int, Int)]
+  }
+
+  /** STUB CODEC — deterministic fake decode. Derives plausible
+    * dimensions from the id and never fails, so the plumbing is fully
+    * testable and the DuckDB oracles can reproduce it arithmetically.
+    * This is the ORACLE PROFILE; [[ImageIoCodec]] is the real one. */
+  object StubCodec extends MediaCodec {
+    def decode(id: Long, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      Some(decodeStub(id, bytes))
+  }
+
+  /** REAL pure-JVM image decode via javax.imageio (PNG/BMP/GIF/JPEG ship
+    * with the JDK — no external libs). Single-frame stills: n_frames=1.
+    * Undecodable bytes → None (quarantine), matching the reference's
+    * tolerance for dead picture_urls. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(id: Long, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None else Some((img.getWidth, img.getHeight, 1))
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic fake decode (the [[StubCodec]] arithmetic). */
   def decodeStub(id: Long, bytes: Array[Byte]): (Int, Int, Int) = {
     val width = 16 + ((id * 37) % 1008).toInt
     val height = 16 + ((id * 53) % 752).toInt
     val nFrames = 1 + (id % 24).toInt
     (width, height, nFrames)
   }
+
+  /** Real aspect-preserving pixel resize (decode → Graphics2D scale →
+    * PNG re-encode) for payloads [[ImageIoCodec]] can read; None when
+    * undecodable. The dimension math is [[resizeDims]] — the same
+    * numbers the metadata-only planning stage (q62) reports. */
+  def resizePayload(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w2, h2) = resizeDims(img.getWidth, img.getHeight, maxSide)
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w2, h2, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
 
   /** Rolling checksum over payload bytes (mod 1e9+7), matching
     * functions.TextFunctions.rollingFingerprint for ASCII payloads. */
@@ -44,16 +93,21 @@ object MediaPipeline {
     bytes.map(b => f"${b & 0xff}%02X").mkString
 
   /** Batch feature extraction: one decoder pass per partition. Null
-    * payloads (failed fetch / corrupt blob — routine at ingest scale) are
-    * quarantined: dropped here, never decoded. */
-  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * payloads (failed fetch / corrupt blob — routine at ingest scale)
+    * and payloads the codec rejects are quarantined: dropped here,
+    * never half-decoded. Codec defaults to the deterministic
+    * [[StubCodec]] (the oracle profile); pass [[ImageIoCodec]] for real
+    * image bytes. */
+  def extractFeatures(rows: Dataset[MediaRow],
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     rows.mapPartitions { it =>
       // per-partition decoder init would go here (codec context, model)
-      it.filter(_.media != null).map { r =>
-        val (w, h, f) = decodeStub(r.doc_id, r.media)
-        MediaFeatures(r.doc_id, r.source, r.media.length,
-          hex(r.media.take(4)), w, h, f, checksum(r.media))
+      it.filter(_.media != null).flatMap { r =>
+        codec.decode(r.doc_id, r.media).map { case (w, h, f) =>
+          MediaFeatures(r.doc_id, r.source, r.media.length,
+            hex(r.media.take(4)), w, h, f, checksum(r.media))
+        }
       }
     }
   }

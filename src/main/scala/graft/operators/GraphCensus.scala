@@ -55,31 +55,40 @@ object GraphCensus {
           }
         }
         .toDF("round", "n_nodes", "n_edges")
-      e0.unpersist(false)
+      // no unpersist here: it would run at plan-BUILD time, before the
+      // returned frame executes, evicting the very blocks the one-task
+      // pass reads (advice r4). Blocks free on GC / bench clearCache.
       out
     } else {
       // distributed peel: per round ONE degree aggregation (map-side
-      // partial) + two semi-joins against the (small, broadcastable)
-      // survivor set; each round's edge set cached — the stat subtrees
-      // and the next round both read it.
+      // partial) + two semi-joins against the survivor set. Stats are
+      // read EAGERLY (one row per round), so the previous round's cache
+      // can be dropped as soon as the next round materializes —
+      // cached-block memory stays O(1) in rounds, and the result is a
+      // literal frame with no lineage into the dropped caches.
       var e = e0
-      var out: Seq[DataFrame] = Nil
+      var acc: Seq[(Long, Long, Long)] = Nil
       for (round <- 1 to rounds) {
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val keep = deg.where(col("deg") >= k).select("v")
+        val prev = e
         e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b")
           .cache()
         e.count()
-        val stats = e.select(explode(array(col("a"), col("b"))).as("v"))
+        if (prev ne e0) prev.unpersist(false)
+        val r = e.select(explode(array(col("a"), col("b"))).as("v"))
           .agg((count(lit(1)) / 2).cast("bigint").as("n_edges"),
             countDistinct("v").as("n_nodes"))
-        out = out :+ stats.selectExpr(
-          s"CAST($round AS BIGINT) AS round", "n_nodes", "n_edges")
+          .head()
+        acc = acc :+ ((round.toLong, r.getAs[Long]("n_nodes"),
+          r.getAs[Long]("n_edges")))
       }
-      out.reduce(_ unionAll _)
+      if (e ne e0) e.unpersist(false)
+      e0.unpersist(false)
+      acc.toDF("round", "n_nodes", "n_edges")
     }
   }
 
@@ -127,31 +136,35 @@ object GraphCensus {
           }
         }
         .toDF("hop", "frontier", "reached")
-      e0.unpersist(false)
+      // no unpersist here — see kcoreCensus note (plan-build-time
+      // unpersist would evict before the one-task pass runs)
       out
     } else {
+      // distributed frontier expansion: localCheckpoint truncates each
+      // round's lineage (so earlier rounds need no cache), counts are
+      // read eagerly per hop, and adj/e0 drop once the loop is done —
+      // the returned frame is a literal with no lineage into them.
       val adj = e0.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e0.select(col("b").as("u"), col("a").as("v"))).cache()
       adj.count()
       val src = adj.groupBy("u").agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("u")).limit(1).select(col("u").as("v"))
-        .cache()
-      src.count()
+        .localCheckpoint()
       var visited = src
       var frontier = src
-      var out: Seq[DataFrame] = Nil
+      var acc: Seq[(Long, Long, Long)] = Nil
       for (hop <- 1 to hops) {
         val next = adj.join(frontier.withColumnRenamed("v", "u"), Seq("u"))
           .select("v").distinct()
-          .join(visited, Seq("v"), "left_anti").cache()
-        next.count()
+          .join(visited, Seq("v"), "left_anti").localCheckpoint()
+        val f = next.count()
         frontier = next
-        visited = visited.unionAll(next)
-        out = out :+ next.agg(count(lit(1)).as("frontier"))
-          .crossJoin(visited.agg(count(lit(1)).as("reached")))
-          .selectExpr(s"CAST($hop AS BIGINT) AS hop", "frontier", "reached")
+        visited = visited.unionAll(next).localCheckpoint()
+        acc = acc :+ ((hop.toLong, f, visited.count()))
       }
-      out.reduce(_ unionAll _)
+      adj.unpersist(false)
+      e0.unpersist(false)
+      acc.toDF("hop", "frontier", "reached")
     }
   }
 
@@ -212,7 +225,7 @@ object GraphCensus {
           }
         }
         .toDF("phase", "src", "ecc", "reached")
-      e0.unpersist(false)
+      // no unpersist here — see kcoreCensus note
       out
     } else {
       val adj = e0.select(col("a").as("u"), col("b").as("v"))
@@ -247,6 +260,10 @@ object GraphCensus {
         .localCheckpoint()
       val (s1, far1) = sweepD(hub)
       val (s2, _) = sweepD(far1)
+      // both sweeps ran eagerly; stats/far are checkpoint-backed, so the
+      // adjacency cache can drop now
+      adj.unpersist(false)
+      e0.unpersist(false)
       s1.selectExpr("CAST(1 AS BIGINT) AS phase", "src", "ecc", "reached")
         .unionAll(s2.selectExpr("CAST(2 AS BIGINT) AS phase", "src", "ecc",
           "reached"))
