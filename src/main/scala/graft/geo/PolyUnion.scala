@@ -80,6 +80,33 @@ object PolyUnion {
     dissolveArea(rects.withColumn("_pu_g", lit(1)), Seq("_pu_g"))
       .drop("_pu_g")
 
+  /** ST_Intersection with GEOMETRY output: the clipped rectangle parts
+    * of A∩B per group. Rect∩rect is a rect, so the clipped parts ARE
+    * the intersection's decomposition — feed them back through
+    * [[dissolveArea]] for the exact intersection area (overlapping
+    * clip parts collapse there; neither input needs pre-dissolving).
+    * Reference analog: managers.py:308's grid∩AOI — the predicate form
+    * (q20/q25) kept only the boolean; this emits the clipped shapes. */
+  def clipParts(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val bR = b.select(g ++ Seq(col("x0").as("_pu_bx0"), col("x1").as("_pu_bx1"),
+      col("y0").as("_pu_by0"), col("y1").as("_pu_by1")): _*)
+    a.join(bR, groupCols)
+      .select(g ++ Seq(
+        greatest(col("x0"), col("_pu_bx0")).as("x0"),
+        least(col("x1"), col("_pu_bx1")).as("x1"),
+        greatest(col("y0"), col("_pu_by0")).as("y0"),
+        least(col("y1"), col("_pu_by1")).as("y1")): _*)
+      .where(col("x0") < col("x1") && col("y0") < col("y1"))
+  }
+
+  /** Exact intersection area per group: dissolve of [[clipParts]]. */
+  def intersectionArea(a: DataFrame, b: DataFrame,
+                       groupCols: Seq[String]): DataFrame =
+    dissolveArea(clipParts(a, b, groupCols), groupCols)
+      .select((groupCols.map(col) :+
+        col("union_area").as("intersection_area")): _*)
+
   /** The same slab sweep as ANSI SQL over a `rects` relation with
     * columns (grp, x0, x1, y0, y1) — the DuckDB oracle form. */
   def dissolveAreaSql(rectsRel: String): String = s"""

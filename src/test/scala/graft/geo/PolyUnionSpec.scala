@@ -63,6 +63,32 @@ class PolyUnionSpec extends SparkSpec {
       assert(r.getAs[Long]("union_area") <= r.getAs[Long]("sum_part_area")))
   }
 
+  test("clipParts/intersectionArea: |A∩B| = |A| + |B| − |A∪B| (rect case)") {
+    val a = rects(("g", 0L, 10L, 0L, 10L))
+    val b = rects(("g", 5L, 15L, 5L, 15L))
+    val inter = PolyUnion.intersectionArea(a, b, Seq("grp"))
+      .head().getAs[Long]("intersection_area")
+    val un = PolyUnion.dissolveArea(a.unionByName(b), Seq("grp"))
+      .head().getAs[Long]("union_area")
+    assert(inter == 25L && un == 175L && inter == 100L + 100L - un)
+  }
+
+  test("intersection with overlapping clip parts is exact (no double count)") {
+    // B's two rects overlap each other AND A: clipped parts overlap,
+    // the final dissolve must collapse them
+    val a = rects(("g", 0L, 20L, 0L, 20L))
+    val b = rects(("g", 0L, 10L, 0L, 10L), ("g", 5L, 15L, 5L, 15L))
+    val inter = PolyUnion.intersectionArea(a, b, Seq("grp"))
+      .head().getAs[Long]("intersection_area")
+    assert(inter == 175L) // = |B's union|, since B ⊂ A
+  }
+
+  test("disjoint intersection yields no group row") {
+    val a = rects(("g", 0L, 5L, 0L, 5L))
+    val b = rects(("g", 10L, 15L, 10L, 15L))
+    assert(PolyUnion.intersectionArea(a, b, Seq("grp")).count() == 0)
+  }
+
   test("random overlapping sets: union bounded by sum and by bbox") {
     val rows = (0 until 60).map { i =>
       val x = (i * 37 % 50).toLong; val y = (i * 53 % 40).toLong
