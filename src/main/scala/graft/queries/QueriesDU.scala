@@ -53,12 +53,26 @@ object QueriesDU extends QueryPack {
           .selectExpr("o_orderkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x", "nl AS y")
         base.cache(); base.count()
-        def quant(cn: String, qbp: Int, out: String) =
-          graft.operators.ScaleRank.quantileDisc(base, col(cn), qbp, 10000, out)
-        val qs = quant("x", 2500, "qx25").crossJoin(quant("x", 5000, "qx50"))
-          .crossJoin(quant("x", 7500, "qx75"))
-          .crossJoin(quant("y", 2500, "qy25")).crossJoin(quant("y", 5000, "qy50"))
-          .crossJoin(quant("y", 7500, "qy75"))
+        // ONE distinct-value cumsum per column; all three cut points read
+        // it (six independent quantileDisc pipelines cost 6 checkpoints
+        // and benched 3.8x slower)
+        val SR = graft.operators.ScaleRank
+        def cumFor(cn: String) = SR.withTotals(
+          SR.withGlobalRunningSum(
+            base.groupBy(cn).agg(count(lit(1)).as("c")),
+            Seq(col(cn)), col("c"), "cum"),
+          Seq(sum("c").cast("bigint").as("nn")))
+        // all three cut points per column in ONE aggregation job over the
+        // cum frame (explode the thresholds, min per qualifying value)
+        def cuts(cn: String, prefix: String) = cumFor(cn)
+          .withColumn("qbp", explode(expr(
+            "array(CAST(2500 AS BIGINT), CAST(5000 AS BIGINT), CAST(7500 AS BIGINT))")))
+          .where(col("cum") * 10000 >= col("nn") * col("qbp"))
+          .groupBy()
+          .agg(min(when(col("qbp") === 2500, col(cn))).as(s"${prefix}25"),
+            min(when(col("qbp") === 5000, col(cn))).as(s"${prefix}50"),
+            min(when(col("qbp") === 7500, col(cn))).as(s"${prefix}75"))
+        val qs = cuts("x", "qx").crossJoin(cuts("y", "qy"))
         val tot = base.agg(count(lit(1)).cast("bigint").as("n"))
         val uv = qs.crossJoin(broadcast(tot))
           .select(explode(expr("array(CAST(2500 AS BIGINT), CAST(5000 AS BIGINT), CAST(7500 AS BIGINT))")).as("ubp"),
