@@ -68,7 +68,11 @@ object PlanScan {
           val plan = df.queryExecution.executedPlan
           val planStr = plan.toString
           val cart = planStr.contains("CartesianProduct")
-          val wsc = "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined
+          // AQE propagates EmptyRelation through empty intermediate
+          // results at tiny SFs — nothing executes, so "no codegen
+          // span" is vacuous there (q214/q216 at sf0.001)
+          val wsc = "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined ||
+            planStr.contains("EmptyRelation")
           val (rawWin, aggWin) = globalWindows(plan)
           aggTotal += aggWin
           if (cart || !wsc || rawWin > 0) {
