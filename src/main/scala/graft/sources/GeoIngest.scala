@@ -83,6 +83,42 @@ object GeoIngest {
     finishParse(parsed, idCol, jsonCol)
   }
 
+  /** Emit half (list-aoi.py analog): vertices → WKT POLYGON text, one
+    * row per id. Ring and vertex order restored via sort_array on the
+    * collected (idx, x, y) structs — the parse→emit→parse round trip
+    * is vertex-exact (string formatting of doubles differs, parsed
+    * geometry does not). */
+  def toWkt(vertices: DataFrame, idCol: String): DataFrame = {
+    val rings = vertices
+      .groupBy(col(idCol), col("ring"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("x"), col("y"))))
+        .as("_pts"))
+      .withColumn("_rt", concat(lit("("), array_join(expr(
+        "transform(_pts, p -> concat(CAST(p.x AS STRING), ' ', CAST(p.y AS STRING)))"),
+        ", "), lit(")")))
+    rings.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("ring"), col("_rt")))).as("_rs"))
+      .withColumn("wkt", concat(lit("POLYGON ("),
+        array_join(expr("transform(_rs, r -> r._rt)"), ", "), lit(")")))
+      .select(col(idCol), col("wkt"))
+  }
+
+  /** Emit: vertices → GeoJSON Polygon text, one row per id. */
+  def toGeoJson(vertices: DataFrame, idCol: String): DataFrame = {
+    val rings = vertices
+      .groupBy(col(idCol), col("ring"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("x"), col("y"))))
+        .as("_pts"))
+      .withColumn("_coords", expr("transform(_pts, p -> array(p.x, p.y))"))
+    rings.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("ring"), col("_coords"))))
+        .as("_rs"))
+      .withColumn("geojson", to_json(struct(
+        lit("Polygon").as("type"),
+        expr("transform(_rs, r -> r._coords)").as("coordinates"))))
+      .select(col(idCol), col("geojson"))
+  }
+
   /** Edge table from a vertices frame: one row per directed boundary
     * segment (consecutive vertices within a ring; the retained closing
     * vertex supplies the wrap-around edge). */

@@ -81,6 +81,57 @@ class ScaleRankSpec extends SparkSpec {
     assert(r.toSeq == Seq(1L))
   }
 
+  test("withGlobalRunningSums: N sums in one pass equal N naive windows") {
+    val df = sampleDf(300)
+    val ord = Seq(col("v"), col("id"))
+    val fast = ScaleRank.withGlobalRunningSums(df, ord,
+      Seq(col("v") -> "c1", (col("v") * 2 + 1) -> "c2"), nParts = 8)
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slow = df
+      .withColumn("c1", sum(col("v").cast("bigint")).over(w))
+      .withColumn("c2", sum((col("v") * 2 + 1).cast("bigint")).over(w))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("withGlobalRankAndSum equals separate rank + running sum") {
+    val df = sampleDf(300)
+    val ord = Seq(col("v").desc, col("id"))
+    val fast = ScaleRank.withGlobalRankAndSum(df, ord, col("v"), "rn", "cum", nParts = 8)
+    val w = Window.orderBy(ord: _*)
+    val slow = df
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("v").cast("bigint")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("withGlobalNtile equals Spark's global ntile") {
+    val df = sampleDf(137)
+    val ord = Seq(col("v"), col("id"))
+    val fast = ScaleRank.withGlobalNtile(df, ord, 10, "b", nParts = 8)
+      .select(col("id"), col("b"))
+    val slow = df.withColumn("b", ntile(10).over(Window.orderBy(ord: _*)))
+      .select(col("id"), col("b"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("quantileDisc equals rank-selected percentile_disc, ties included") {
+    import spark.implicits._
+    // heavy ties: values 0..9 each repeated
+    val df = (0 until 200).map(i => (i % 10, i.toLong)).toDF("v", "id")
+    for ((num, den) <- Seq((1, 2), (95, 100), (1, 100), (99, 100), (1, 1))) {
+      val fast = ScaleRank.quantileDisc(df, col("v"), num, den, "q", nParts = 4)
+        .head().getInt(0)
+      val slow = df
+        .withColumn("rn", row_number().over(Window.orderBy("v", "id")))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+        .where(col("rn") * den >= col("n") * num)
+        .agg(min("v")).head().getInt(0)
+      assert(fast == slow, s"num=$num den=$den fast=$fast slow=$slow")
+    }
+  }
+
   test("withTotals broadcasts grand aggregates") {
     import spark.implicits._
     val df = sampleDf(100)

@@ -69,6 +69,23 @@ class GeoIngestSpec extends SparkSpec {
     assert(v.count() == 0 && c.count() == 3)
   }
 
+  test("toWkt/toGeoJson round trip is vertex-exact (holes included)") {
+    val src = df(
+      (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+      (2L, "POLYGON ((5 5, 8 5, 8 9, 5 9, 5 5))"))
+    val (v0, _) = parseWktPolygons(src, "id", "g")
+    // WKT round trip
+    val (v1, c1) = parseWktPolygons(
+      toWkt(v0, "id").withColumnRenamed("wkt", "g"), "id", "g")
+    assert(c1.count() == 0)
+    assert(v0.exceptAll(v1).isEmpty && v1.exceptAll(v0).isEmpty)
+    // GeoJSON round trip
+    val (v2, c2) = parseGeoJsonPolygons(
+      toGeoJson(v0, "id").withColumnRenamed("geojson", "g"), "id", "g")
+    assert(c2.count() == 0)
+    assert(v0.exceptAll(v2).isEmpty && v2.exceptAll(v0).isEmpty)
+  }
+
   test("edges: closing vertex supplies the wrap-around edge") {
     val (v, _) = parseWktPolygons(
       df((1L, "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")), "id", "g")
