@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Round-5 coverage additions, part 130 — makespan scheduling, corpus
+  * compressibility, training-batch economics, uplift readout:
+  *
+  *  - q534: LPT (longest-processing-time) scheduling of the 200
+  *    part-group durations onto 4 workers: sort desc, assign each task
+  *    to the least-loaded worker (ties → lowest worker id), report
+  *    per-worker loads, makespan, the two classic lower bounds and the
+  *    ratio (LPT guarantees ≤ 4/3·OPT). One bounded task in Spark;
+  *    recursive CTE carrying the 4-element load LIST in DuckDB.
+  *  - q535: corpus compressibility audit per source: character unigram
+  *    entropy H0 vs bigram conditional entropy H1 in floor-micro nats
+  *    (per-term quantization → exact integer sums over the bounded
+  *    alphabet), compressibility = (H0−H1)/H0 bp. Positions are
+  *    exploded from sequence() — never explode(substr-array) (the
+  *    generator-inlining gotcha).
+  *  - q536: attention padding-waste planner: fixed batches of 8 docs,
+  *    padded cost n·Lmax² vs packed cost ΣL² (block-diagonal
+  *    attention), token padding waste — the "why sequence packing
+  *    matters" economics behind q321's packer.
+  *  - q537: two-model uplift readout per market segment: treatment =
+  *    customer-key parity, outcome = ordered within the last year of
+  *    the data; uplift bp + pooled two-proportion z floor-milli.
+  *
+  * Scale shapes: q534 aggregates to the bounded 200-task domain before
+  * the sequential assignment; q535/q536 are hash aggregations over
+  * exploded positions / per-doc rows; q537 is join + conditional sums.
+  */
+object QueriesEG extends QueryPack {
+  import Q._
+
+  // NOT private: Spark's generated (de)serializer code must access these.
+  case class LptTask(tid: Long, dur: Long)
+  case class LptOut(worker: Long, n_tasks: Long, load: Long,
+      makespan: Long, lower_bound: Long, ratio_bp: Long)
+
+  def defs: Seq[QDef] = Seq(
+
+    // --------------------------------------------------------------- q534
+    QDef("q534_lpt_makespan",
+      (s, dir) => {
+        import s.implicits._
+        val tasks = t(s, dir, "lineitem")
+          .selectExpr("l_partkey % 200 AS tid",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q")
+          .groupBy("tid").agg(sum("q").cast("long").as("dur"))
+          .as[LptTask]
+        tasks.coalesce(1)
+          .sortWithinPartitions(col("dur").desc, col("tid"))
+          .mapPartitions { it =>
+            val arr = it.toArray
+            if (arr.isEmpty) Iterator.empty
+            else {
+              val loads = Array.fill(4)(0L)
+              val counts = Array.fill(4)(0L)
+              arr.foreach { tk =>
+                var w = 0
+                for (k <- 1 until 4) if (loads(k) < loads(w)) w = k
+                loads(w) += tk.dur; counts(w) += 1
+              }
+              val makespan = loads.max
+              val total = arr.map(_.dur).sum
+              val lb = math.max((total + 3) / 4, arr.map(_.dur).max)
+              (0 until 4).iterator.map { w =>
+                LptOut(w.toLong, counts(w), loads(w), makespan, lb,
+                  makespan * 10000L / lb)
+              }
+            }
+          }
+          .toDF()
+          .orderBy("worker")
+      },
+      Some("""
+        WITH RECURSIVE tasks AS (
+          SELECT l_partkey % 200 AS tid,
+                 CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS dur
+          FROM lineitem GROUP BY 1),
+        r AS (
+          SELECT tid, dur,
+                 row_number() OVER (ORDER BY dur DESC, tid) AS rn,
+                 count(*) OVER () AS cnt
+          FROM tasks),
+        b AS (
+          SELECT 0 AS rn,
+                 [CAST(0 AS BIGINT), 0, 0, 0] AS loads,
+                 [CAST(0 AS BIGINT), 0, 0, 0] AS counts
+          FROM (SELECT 1) WHERE (SELECT count(*) FROM tasks) > 0
+          UNION ALL
+          SELECT z.rn,
+                 list_transform(range(1, 5), k ->
+                   CASE WHEN k = z.wi THEN z.loads[k] + z.dur
+                        ELSE z.loads[k] END),
+                 list_transform(range(1, 5), k ->
+                   CASE WHEN k = z.wi THEN z.counts[k] + 1
+                        ELSE z.counts[k] END)
+          FROM (
+            SELECT r.rn, r.dur, b.loads, b.counts,
+                   list_position(b.loads, list_min(b.loads)) AS wi
+            FROM b JOIN r ON r.rn = b.rn + 1) z),
+        fin AS (
+          SELECT loads, counts FROM b
+          WHERE rn = (SELECT max(rn) FROM b)),
+        stats AS (
+          SELECT CAST(list_max(f.loads) AS BIGINT) AS makespan,
+                 greatest((SELECT (sum(dur) + 3) // 4 FROM tasks),
+                          (SELECT max(dur) FROM tasks)) AS lb
+          FROM fin f)
+        SELECT CAST(t.k - 1 AS BIGINT) AS worker,
+               CAST(f.counts[t.k] AS BIGINT) AS n_tasks,
+               CAST(f.loads[t.k] AS BIGINT) AS load,
+               s.makespan, CAST(s.lb AS BIGINT) AS lower_bound,
+               CAST(s.makespan * 10000 // s.lb AS BIGINT) AS ratio_bp
+        FROM fin f, stats s, (SELECT unnest(range(1, 5)) AS k) t
+        ORDER BY worker""")),
+
+    // --------------------------------------------------------------- q535
+    QDef("q535_char_entropy",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .where(col("text").isNotNull && length(col("text")) >= 2)
+          .select(col("source"), col("text"))
+        val uni = d
+          .select(col("source"),
+            explode(expr("sequence(1, length(text))")).as("i"), col("text"))
+          .selectExpr("source", "substring(text, i, 1) AS c")
+          .groupBy("source", "c").agg(count(lit(1)).as("cnt"))
+        val uniTot = uni.groupBy("source").agg(
+          sum("cnt").cast("long").as("tot"), count(lit(1)).as("alpha"))
+        val h0 = uni.join(uniTot, "source")
+          .selectExpr("source", "tot", "alpha",
+            """CAST(floor(CAST(cnt AS DOUBLE) / tot
+                 * ln(CAST(tot AS DOUBLE) / cnt) * 1000000) AS BIGINT)
+               AS term""")
+          .groupBy("source", "tot", "alpha")
+          .agg(sum("term").cast("long").as("h0_micro"))
+        val big = d
+          .select(col("source"),
+            explode(expr("sequence(1, length(text) - 1)")).as("i"), col("text"))
+          .selectExpr("source", "substring(text, i, 1) AS c1",
+            "substring(text, i + 1, 1) AS c2")
+          .groupBy("source", "c1", "c2").agg(count(lit(1)).as("n12"))
+        val ctx = big.groupBy("source", "c1").agg(
+          sum("n12").cast("long").as("n1"))
+        val bigTot = big.groupBy("source").agg(
+          sum("n12").cast("long").as("totb"))
+        val h1 = big.join(ctx, Seq("source", "c1")).join(bigTot, "source")
+          .selectExpr("source",
+            """CAST(floor(CAST(n12 AS DOUBLE) / totb
+                 * ln(CAST(n1 AS DOUBLE) / n12) * 1000000) AS BIGINT)
+               AS term""")
+          .groupBy("source").agg(sum("term").cast("long").as("h1_micro"))
+        h0.join(h1, "source")
+          .where(expr("h0_micro > 0"))
+          .selectExpr("source", "tot AS n_chars", "alpha AS alpha_size",
+            "h0_micro", "h1_micro",
+            "(h0_micro - h1_micro) * 10000 DIV h0_micro AS compress_bp")
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, text FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 2),
+        uni AS (
+          SELECT source, substring(text, i, 1) AS c,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM d, unnest(range(1, length(text) + 1)) AS u(i)
+          GROUP BY 1, 2),
+        unitot AS (
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS alpha
+          FROM uni GROUP BY 1),
+        h0 AS (
+          SELECT u.source, t.tot, t.alpha,
+                 CAST(sum(CAST(floor(CAST(u.cnt AS DOUBLE) / t.tot
+                   * ln(CAST(t.tot AS DOUBLE) / u.cnt) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS h0_micro
+          FROM uni u JOIN unitot t ON u.source = t.source
+          GROUP BY 1, 2, 3),
+        big AS (
+          SELECT source, substring(text, i, 1) AS c1,
+                 substring(text, i + 1, 1) AS c2,
+                 CAST(count(*) AS BIGINT) AS n12
+          FROM d, unnest(range(1, length(text))) AS u(i)
+          GROUP BY 1, 2, 3),
+        ctx AS (
+          SELECT source, c1, CAST(sum(n12) AS BIGINT) AS n1
+          FROM big GROUP BY 1, 2),
+        bigtot AS (
+          SELECT source, CAST(sum(n12) AS BIGINT) AS totb
+          FROM big GROUP BY 1),
+        h1 AS (
+          SELECT b.source,
+                 CAST(sum(CAST(floor(CAST(b.n12 AS DOUBLE) / bt.totb
+                   * ln(CAST(x.n1 AS DOUBLE) / b.n12) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS h1_micro
+          FROM big b
+          JOIN ctx x ON b.source = x.source AND b.c1 = x.c1
+          JOIN bigtot bt ON b.source = bt.source
+          GROUP BY 1)
+        SELECT h0.source, h0.tot AS n_chars, h0.alpha AS alpha_size,
+               h0.h0_micro, h1.h1_micro,
+               (h0.h0_micro - h1.h1_micro) * 10000 // h0.h0_micro
+                 AS compress_bp
+        FROM h0 JOIN h1 ON h0.source = h1.source
+        WHERE h0.h0_micro > 0
+        ORDER BY h0.source""")),
+
+    // --------------------------------------------------------------- q536
+    QDef("q536_padding_waste",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .withColumn("len", size(words(col("text"))))
+          .where(col("len") >= 1)
+          .selectExpr("doc_id DIV 8 AS batch", "len")
+        val batches = docs.groupBy("batch").agg(
+          count(lit(1)).as("n"),
+          max("len").cast("long").as("lmax"),
+          sum("len").cast("long").as("sl"),
+          sum(expr("CAST(len AS BIGINT) * len")).cast("long").as("sl2"))
+        batches.agg(
+            count(lit(1)).as("n_batches"),
+            sum(expr("n * lmax * lmax")).cast("long").as("pad_cost"),
+            sum("sl2").cast("long").as("pack_cost"),
+            sum(expr("n * lmax")).cast("long").as("pad_tokens"),
+            sum("sl").cast("long").as("real_tokens"))
+          .where(expr("pad_cost > 0 AND pad_tokens > 0"))
+          .selectExpr("n_batches", "pad_cost", "pack_cost", "real_tokens",
+            "(pad_cost - pack_cost) * 10000 DIV pad_cost AS attn_savings_bp",
+            "(pad_tokens - real_tokens) * 10000 DIV pad_tokens AS token_waste_bp")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id // 8 AS batch, len FROM (
+            SELECT doc_id, len(${wordsSql("text")}) AS len
+            FROM documents WHERE text IS NOT NULL)
+          WHERE len >= 1),
+        batches AS (
+          SELECT batch, CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(len) AS BIGINT) AS lmax,
+                 CAST(sum(len) AS BIGINT) AS sl,
+                 CAST(sum(CAST(len AS BIGINT) * len) AS BIGINT) AS sl2
+          FROM docs GROUP BY 1),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_batches,
+                 CAST(sum(n * lmax * lmax) AS BIGINT) AS pad_cost,
+                 CAST(sum(sl2) AS BIGINT) AS pack_cost,
+                 CAST(sum(n * lmax) AS BIGINT) AS pad_tokens,
+                 CAST(sum(sl) AS BIGINT) AS real_tokens
+          FROM batches)
+        SELECT n_batches, pad_cost, pack_cost, real_tokens,
+               (pad_cost - pack_cost) * 10000 // pad_cost AS attn_savings_bp,
+               (pad_tokens - real_tokens) * 10000 // pad_tokens
+                 AS token_waste_bp
+        FROM c WHERE pad_cost > 0 AND pad_tokens > 0""")),
+
+    // --------------------------------------------------------------- q537
+    QDef("q537_uplift_segments",
+      (s, dir) => {
+        val cutoff = t(s, dir, "orders").agg(
+          (max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))")) -
+            lit(31536000000L)).as("cut"))
+        val conv = t(s, dir, "orders")
+          .crossJoin(broadcast(cutoff))
+          .where(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) >= cut"))
+          .select(col("o_custkey").as("ck")).distinct()
+          .withColumn("conv", lit(1L))
+        t(s, dir, "customer")
+          .where(col("c_mktsegment").isNotNull)
+          .join(conv, col("c_custkey") === col("ck"), "left")
+          .selectExpr("c_mktsegment AS segment", "c_custkey % 2 AS g",
+            "coalesce(conv, 0L) AS y")
+          .groupBy("segment").agg(
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("g") === 1, col("y")).otherwise(0L)).cast("long").as("x1"),
+            sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("g") === 0, col("y")).otherwise(0L)).cast("long").as("x0"))
+          .where(expr("n1 > 0 AND n0 > 0 AND x1 + x0 > 0 AND x1 + x0 < n1 + n0"))
+          .selectExpr("segment", "n1", "x1", "n0", "x0",
+            "x1 * 10000 DIV n1 - x0 * 10000 DIV n0 AS uplift_bp",
+            """CAST(floor((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt(CAST(x1 + x0 AS DOUBLE) / (n1 + n0)
+                   * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                   * (1.0 / n1 + 1.0 / n0)) * 1000) AS BIGINT) AS z_milli""")
+          .orderBy("segment")
+      },
+      Some("""
+        WITH cutoff AS (
+          SELECT max(epoch_ms(o_orderdate)) - 31536000000 AS cut FROM orders),
+        conv AS (
+          SELECT DISTINCT o_custkey AS ck FROM orders, cutoff
+          WHERE epoch_ms(o_orderdate) >= cut),
+        lab AS (
+          SELECT c.c_mktsegment AS segment, c.c_custkey % 2 AS g,
+                 CASE WHEN conv.ck IS NOT NULL THEN 1 ELSE 0 END AS y
+          FROM customer c LEFT JOIN conv ON c.c_custkey = conv.ck
+          WHERE c.c_mktsegment IS NOT NULL),
+        agg AS (
+          SELECT segment,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS x1,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS x0
+          FROM lab GROUP BY 1)
+        SELECT segment, n1, x1, n0, x0,
+               x1 * 10000 // n1 - x0 * 10000 // n0 AS uplift_bp,
+               CAST(floor((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt(CAST(x1 + x0 AS DOUBLE) / (n1 + n0)
+                   * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                   * (1.0 / n1 + 1.0 / n0)) * 1000) AS BIGINT) AS z_milli
+        FROM agg
+        WHERE n1 > 0 AND n0 > 0 AND x1 + x0 > 0 AND x1 + x0 < n1 + n0
+        ORDER BY segment"""))
+  )
+}
