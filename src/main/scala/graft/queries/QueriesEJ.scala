@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 coverage additions, part 133 — time-series motif discovery,
+  * counterfactual impact, shard rebalancing, incremental view
+  * maintenance:
+  *
+  *  - q546: matrix profile (window 7, exclusion zone 7) of the daily
+  *    order-count series: per-rank windows built by a frame
+  *    collect_list over the BOUNDED day aggregate, all non-overlapping
+  *    window pairs scored with exact integer squared distances
+  *    (zip_with fold ≡ list_sum/list_transform), motif = global
+  *    min-distance pair, discord = window with the largest
+  *    nearest-neighbor distance. The classic motif/discord primitive
+  *    (Yeh et al.), exact and engine-portable.
+  *  - q547: CausalImpact-style readout: OLS of AFRICA daily revenue on
+  *    AMERICA (pre-midpoint, exact component sums), counterfactual
+  *    forecast for the post period, per-day floor-quantized
+  *    predictions (volume-safe; the q100 lesson) summed exactly,
+  *    cumulative effect bp.
+  *  - q548: shard rebalancing by boundary flows: per-shard deltas vs
+  *    the balanced target (first `total mod 32` shards absorb the
+  *    remainder), prefix-sum boundary flow on the 32-row aggregate =
+  *    the classic minimum-transfers-on-a-line solution, total moves =
+  *    Σ|flow|.
+  *  - q549: incremental view maintenance PROOF for a join view: orders
+  *    and customers both split into (base, delta); the delta rule
+  *    ΔV = Δo⋈c₀ ∪ o₀⋈Δc ∪ Δo⋈Δc recomputed per nation against the
+  *    full view — counts and revenue must agree exactly (emitted as
+  *    match flags, all 1). The join-view sibling of q87's
+  *    incremental-aggregation proof.
+  *
+  * Scale shapes: q546's quadratic runs on the bounded day domain;
+  * q547/q548 are aggregate-domain algebra; q549 is three joins whose
+  * delta sides are 1/10 and 1/7 of the data.
+  */
+object QueriesEJ extends QueryPack {
+  import Q._
+
+  def defs: Seq[QDef] = Seq(
+
+    // --------------------------------------------------------------- q546
+    QDef("q546_matrix_profile",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .selectExpr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day")
+          .groupBy("day").agg(count(lit(1)).as("y"))
+        val wOrd = Window.orderBy("day")
+        val wins = daily
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("arr", collect_list("y").over(
+            wOrd.rowsBetween(Window.currentRow, 6)))
+          .where(size(col("arr")) === 7)
+          .select("rn", "arr")
+        wins.cache(); wins.count()
+        val pairs = wins.selectExpr("rn AS i", "arr AS ai")
+          .join(wins.selectExpr("rn AS j", "arr AS aj"),
+            expr("i + 6 < j"))
+          .selectExpr("i", "j",
+            """aggregate(zip_with(ai, aj, (x, y) -> (x - y) * (x - y)),
+                 CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2""")
+        pairs.cache(); pairs.count()
+        val motif = pairs.agg(min(struct(col("d2"), col("i"), col("j"))).as("m"))
+          .selectExpr("m.d2 AS motif_d2", "CAST(m.i AS BIGINT) AS motif_i",
+            "CAST(m.j AS BIGINT) AS motif_j")
+        val nnd = pairs.selectExpr("i AS w", "d2")
+          .unionAll(pairs.selectExpr("j AS w", "d2"))
+          .groupBy("w").agg(min("d2").cast("long").as("nnd"))
+        val discord = nnd
+          .agg(min(struct(expr("-nnd AS neg"), col("w"))).as("m"))
+          .selectExpr("-m.neg AS discord_nnd", "CAST(m.w AS BIGINT) AS discord_i")
+        val cnt = wins.agg(count(lit(1)).as("n_windows"))
+        cnt.crossJoin(broadcast(motif)).crossJoin(broadcast(discord))
+          .selectExpr("n_windows", "motif_i", "motif_j", "motif_d2",
+            "discord_i", "discord_nnd")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        wins AS (
+          SELECT rn, arr FROM (
+            SELECT row_number() OVER (ORDER BY day) AS rn,
+                   list(y) OVER (ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS arr
+            FROM daily)
+          WHERE len(arr) = 7),
+        pairs AS (
+          SELECT a.rn AS i, b.rn AS j,
+                 CAST(list_sum(list_transform(range(1, 8),
+                   k -> (a.arr[k] - b.arr[k]) * (a.arr[k] - b.arr[k])))
+                   AS BIGINT) AS d2
+          FROM wins a JOIN wins b ON a.rn + 6 < b.rn),
+        motif AS (
+          SELECT d2 AS motif_d2, i AS motif_i, j AS motif_j
+          FROM pairs ORDER BY d2, i, j LIMIT 1),
+        nnd AS (
+          SELECT w, CAST(min(d2) AS BIGINT) AS nnd FROM (
+            SELECT i AS w, d2 FROM pairs
+            UNION ALL SELECT j, d2 FROM pairs)
+          GROUP BY 1),
+        discord AS (
+          SELECT nnd AS discord_nnd, w AS discord_i
+          FROM nnd ORDER BY nnd DESC, w LIMIT 1),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_windows FROM wins)
+        SELECT n_windows, motif_i, motif_j, motif_d2, discord_i,
+               discord_nnd
+        FROM cnt, motif, discord""")),
+
+    // --------------------------------------------------------------- q547
+    QDef("q547_causal_impact",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .where(col("o_totalprice").isNotNull)
+          .join(t(s, dir, "customer"), expr("o_custkey = c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), expr("c_nationkey = n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), expr("n_regionkey = r_regionkey"))
+          .where(expr("r_name IN ('AFRICA', 'AMERICA')"))
+          .selectExpr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day",
+            "r_name",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 1000 AS rev")
+          .groupBy("day").agg(
+            sum(when(col("r_name") === "AFRICA", col("rev")).otherwise(0L))
+              .cast("long").as("y"),
+            sum(when(col("r_name") === "AMERICA", col("rev")).otherwise(0L))
+              .cast("long").as("x"))
+        daily.cache(); daily.count()
+        val mid = daily.agg(((min("day") + max("day")) / 2).cast("long").as("mid"))
+        val marked = daily.crossJoin(broadcast(mid))
+        val fit = marked.where(expr("day < mid"))
+          .agg(count(lit(1)).as("n"),
+            sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+            sum(expr("x*y")).cast("long").as("sxy"),
+            sum(expr("x*x")).cast("long").as("sxx"))
+          .where(expr("n > 1 AND n*sxx > sx*sx"))
+          .selectExpr("n AS n_pre",
+            "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS b",
+            """(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n AS a""")
+        val post = marked.where(expr("day >= mid"))
+          .crossJoin(broadcast(fit))
+          .selectExpr("n_pre", "a", "b", "y",
+            "CAST(floor(a + b * x) AS BIGINT) AS pred")
+          .groupBy("n_pre", "a", "b").agg(
+            count(lit(1)).as("n_post"),
+            sum("y").cast("long").as("cum_actual"),
+            sum("pred").cast("long").as("cum_pred"))
+          .where(expr("cum_pred > 0"))
+        post.selectExpr("n_pre", "n_post",
+          "CAST(floor(b * 1000) AS BIGINT) AS b_milli",
+          "CAST(floor(a * 1000) AS BIGINT) AS a_milli",
+          "cum_actual", "cum_pred",
+          "(cum_actual - cum_pred) * 10000 DIV cum_pred AS effect_bp")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_ms(o.o_orderdate) // 86400000 AS day,
+                 CAST(sum(CASE WHEN r.r_name = 'AFRICA' THEN
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) // 1000
+                   ELSE 0 END) AS BIGINT) AS y,
+                 CAST(sum(CASE WHEN r.r_name = 'AMERICA' THEN
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) // 1000
+                   ELSE 0 END) AS BIGINT) AS x
+          FROM orders o
+          JOIN customer cu ON o.o_custkey = cu.c_custkey
+          JOIN nation n ON cu.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name IN ('AFRICA', 'AMERICA')
+            AND o.o_totalprice IS NOT NULL
+          GROUP BY 1),
+        mid AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid
+                FROM daily),
+        fit AS (
+          SELECT n AS n_pre,
+                 CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+                 (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n AS a
+          FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx
+            FROM daily, mid WHERE day < mid)
+          WHERE n > 1 AND n*sxx > sx*sx),
+        post AS (
+          SELECT f.n_pre, f.a, f.b,
+                 CAST(count(*) AS BIGINT) AS n_post,
+                 CAST(sum(d.y) AS BIGINT) AS cum_actual,
+                 CAST(sum(CAST(floor(f.a + f.b * d.x) AS BIGINT)) AS BIGINT)
+                   AS cum_pred
+          FROM daily d, mid m, fit f
+          WHERE d.day >= m.mid
+          GROUP BY 1, 2, 3)
+        SELECT n_pre, n_post,
+               CAST(floor(b * 1000) AS BIGINT) AS b_milli,
+               CAST(floor(a * 1000) AS BIGINT) AS a_milli,
+               cum_actual, cum_pred,
+               (cum_actual - cum_pred) * 10000 // cum_pred AS effect_bp
+        FROM post WHERE cum_pred > 0""")),
+
+    // --------------------------------------------------------------- q548
+    QDef("q548_rebalance_plan",
+      (s, dir) => {
+        val shards = t(s, dir, "events")
+          .selectExpr("event_id % 32 AS shard")
+          .groupBy("shard").agg(count(lit(1)).as("cnt"))
+        val tot = shards.agg(sum("cnt").cast("long").as("total"))
+        val w = Window.orderBy("shard")
+        val marked = shards.crossJoin(broadcast(tot))
+          .selectExpr("shard", "cnt", "total",
+            "total DIV 32 + CASE WHEN shard < total % 32 THEN 1 ELSE 0 END AS target")
+          .withColumn("delta", col("cnt") - col("target"))
+          .withColumn("flow", sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        val moves = marked.agg(sum(abs(col("flow"))).cast("long").as("total_moves"))
+        marked.crossJoin(broadcast(moves))
+          .selectExpr("shard", "cnt", "target", "delta", "flow", "total_moves")
+          .orderBy("shard")
+      },
+      Some("""
+        WITH shards AS (
+          SELECT event_id % 32 AS shard, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM shards),
+        marked AS (
+          SELECT shard, cnt,
+                 total // 32 + CASE WHEN shard < total % 32 THEN 1 ELSE 0 END
+                   AS target,
+                 cnt - (total // 32 + CASE WHEN shard < total % 32
+                   THEN 1 ELSE 0 END) AS delta
+          FROM shards, tot),
+        flows AS (
+          SELECT shard, cnt, target, delta,
+                 CAST(sum(delta) OVER (ORDER BY shard
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS flow
+          FROM marked),
+        mv AS (SELECT CAST(sum(abs(flow)) AS BIGINT) AS total_moves
+               FROM flows)
+        SELECT f.shard, f.cnt, CAST(f.target AS BIGINT) AS target,
+               CAST(f.delta AS BIGINT) AS delta, f.flow, m.total_moves
+        FROM flows f, mv m
+        ORDER BY f.shard""")),
+
+    // --------------------------------------------------------------- q549
+    QDef("q549_ivm_join_delta",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .where(col("o_totalprice").isNotNull)
+          .selectExpr("o_orderkey AS ok", "o_custkey AS ck",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            "CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS isdelta")
+        val c = t(s, dir, "customer")
+          .selectExpr("c_custkey AS ck", "c_nationkey AS nk",
+            "CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS cisdelta")
+        def view(oDf: org.apache.spark.sql.DataFrame,
+            cDf: org.apache.spark.sql.DataFrame) =
+          oDf.join(cDf, "ck")
+            .groupBy("nk").agg(count(lit(1)).as("cnt"),
+              sum("cents").cast("long").as("rev"))
+        val full = view(o, c)
+        val vBase = view(o.where(expr("isdelta = 0")), c.where(expr("cisdelta = 0")))
+        val d1 = view(o.where(expr("isdelta = 1")), c.where(expr("cisdelta = 0")))
+        val d2 = view(o.where(expr("isdelta = 0")), c.where(expr("cisdelta = 1")))
+        val d3 = view(o.where(expr("isdelta = 1")), c.where(expr("cisdelta = 1")))
+        val inc = vBase.unionAll(d1).unionAll(d2).unionAll(d3)
+          .groupBy("nk").agg(sum("cnt").cast("long").as("inc_cnt"),
+            sum("rev").cast("long").as("inc_rev"))
+        full.join(inc, "nk")
+          .selectExpr("nk", "cnt AS full_cnt", "inc_cnt",
+            "rev AS full_rev", "inc_rev",
+            "CAST(CASE WHEN cnt = inc_cnt AND rev = inc_rev THEN 1 ELSE 0 END AS BIGINT) AS matches")
+          .orderBy("nk")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS ok, o_custkey AS ck,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS isdelta
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        c AS (
+          SELECT c_custkey AS ck, c_nationkey AS nk,
+                 CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS cisdelta
+          FROM customer),
+        full_v AS (
+          SELECT nk, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(cents) AS BIGINT) AS rev
+          FROM o JOIN c ON o.ck = c.ck GROUP BY nk),
+        parts AS (
+          SELECT nk, count(*) AS cnt, sum(cents) AS rev
+          FROM o JOIN c ON o.ck = c.ck
+          WHERE o.isdelta = 0 AND c.cisdelta = 0 GROUP BY nk
+          UNION ALL
+          SELECT nk, count(*), sum(cents)
+          FROM o JOIN c ON o.ck = c.ck
+          WHERE o.isdelta = 1 AND c.cisdelta = 0 GROUP BY nk
+          UNION ALL
+          SELECT nk, count(*), sum(cents)
+          FROM o JOIN c ON o.ck = c.ck
+          WHERE o.isdelta = 0 AND c.cisdelta = 1 GROUP BY nk
+          UNION ALL
+          SELECT nk, count(*), sum(cents)
+          FROM o JOIN c ON o.ck = c.ck
+          WHERE o.isdelta = 1 AND c.cisdelta = 1 GROUP BY nk),
+        inc AS (
+          SELECT nk, CAST(sum(cnt) AS BIGINT) AS inc_cnt,
+                 CAST(sum(rev) AS BIGINT) AS inc_rev
+          FROM parts GROUP BY nk)
+        SELECT f.nk, f.cnt AS full_cnt, i.inc_cnt,
+               f.rev AS full_rev, i.inc_rev,
+               CAST(CASE WHEN f.cnt = i.inc_cnt AND f.rev = i.inc_rev
+                 THEN 1 ELSE 0 END AS BIGINT) AS matches
+        FROM full_v f JOIN inc i ON f.nk = i.nk
+        ORDER BY f.nk"""))
+  )
+}
