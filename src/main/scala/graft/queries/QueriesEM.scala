@@ -1,0 +1,389 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.PortableHash
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 coverage additions, part 136 — content-defined chunking,
+  * survival inference, leak-free encoding, Katz centrality:
+  *
+  *  - q558: content-defined chunking (rsync/Borg-style): 4-char
+  *    polynomial rolling hash per position, boundaries where
+  *    hash % 64 = 0, chunks hashed with the portable md5 — global
+  *    chunk-level dedup savings vs whole-doc dedup savings in bp.
+  *    All per-doc work is LIST ops (no per-position row explosion);
+  *    only the ~len/64 chunks explode. The storage-economics op
+  *    behind incremental corpus snapshots.
+  *  - q559: log-rank test comparing fulfillment survival (order date →
+  *    last ship, event = status F) between urgent (priority 1–2) and
+  *    other orders: at-risk counts from suffix sums on the bounded
+  *    duration domain, per-time hypergeometric terms floor-quantized
+  *    micro then exactly summed, z floor-milli. The inferential
+  *    companion to q152/q404's KM curves.
+  *  - q560: ordered target statistics (CatBoost-style leak-free
+  *    encoding): expanding-window return-rate encoding per brand
+  *    (partitioned cumulative window, prior-smoothed a=10), audited
+  *    against the full-data encoding — mean |gap| ppm and the
+  *    class separation of the ordered encoding.
+  *  - q561: Katz centrality by three quantized matvec rounds
+  *    x' = 1000 + (Σ_{j∈N(i)} x_j) DIV 4 on the mod-64 co-purchase
+  *    graph — join-based distributed matvec, exact integers; top 10.
+  *    Completes the centrality family (q148 PageRank, q308 HITS).
+  *
+  * Scale shapes: q558/q560 are per-row list ops + hash aggregations /
+  * partitioned windows; q559 aggregates to the bounded duration
+  * domain; q561 is 3 rounds of edge–vector joins (matvec shape).
+  */
+object QueriesEM extends QueryPack {
+  import Q._
+
+  def defs: Seq[QDef] = Seq(
+
+    // --------------------------------------------------------------- q558
+    QDef("q558_cdc_chunking",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .where(col("text").isNotNull && length(col("text")) >= 4)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          // boundary positions: i >= 4 with 4-gram hash % 64 = 0, plus len
+          .withColumn("bpos", expr(
+            """concat(
+                 filter(transform(sequence(4, len), i ->
+                   CASE WHEN (ascii(substring(text, i - 3, 1)) * 29791
+                       + ascii(substring(text, i - 2, 1)) * 961
+                       + ascii(substring(text, i - 1, 1)) * 31
+                       + ascii(substring(text, i, 1))) % 64 = 0
+                     AND i < len THEN i ELSE NULL END), x -> x IS NOT NULL),
+                 array(len))"""))
+          .withColumn("chunks", expr(
+            """transform(sequence(1, size(bpos)), j ->
+                 substring(text,
+                   CASE WHEN j = 1 THEN 1 ELSE bpos[j - 2] + 1 END,
+                   bpos[j - 1] -
+                     CASE WHEN j = 1 THEN 0 ELSE bpos[j - 2] END))"""))
+        val ch = d.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+          .select(PortableHash.md5Long(col("chunk")).as("h"),
+            length(col("chunk")).as("clen"))
+        val chunkStats = ch.agg(
+          count(lit(1)).as("n_chunks"),
+          sum("clen").cast("long").as("total_bytes"))
+        val distinctStats = ch.groupBy("h").agg(
+            first("clen").as("clen1"))
+          .agg(count(lit(1)).as("n_distinct_chunks"),
+            sum("clen1").cast("long").as("distinct_bytes"))
+        val docStats = d.select(PortableHash.md5Long(col("text")).as("th"),
+            col("len"))
+          .groupBy("th").agg(first("len").as("len1"))
+          .agg(count(lit(1)).as("n_distinct_docs"),
+            sum("len1").cast("long").as("doc_distinct_bytes"))
+        chunkStats.crossJoin(broadcast(distinctStats))
+          .crossJoin(broadcast(docStats))
+          .where(expr("total_bytes > 0"))
+          .selectExpr("n_chunks", "n_distinct_chunks", "total_bytes",
+            "distinct_bytes",
+            "(total_bytes - distinct_bytes) * 10000 DIV total_bytes AS cdc_savings_bp",
+            "(total_bytes - doc_distinct_bytes) * 10000 DIV total_bytes AS doc_savings_bp")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len
+          FROM documents WHERE text IS NOT NULL AND length(text) >= 4),
+        b AS (
+          SELECT doc_id, text, len,
+                 list_concat(
+                   list_filter(list_transform(range(4, len + 1), i ->
+                     CASE WHEN (ascii(substring(text, CAST(i - 3 AS INT), 1)) * 29791
+                         + ascii(substring(text, CAST(i - 2 AS INT), 1)) * 961
+                         + ascii(substring(text, CAST(i - 1 AS INT), 1)) * 31
+                         + ascii(substring(text, CAST(i AS INT), 1))) % 64 = 0
+                       AND i < len THEN i ELSE NULL END), x -> x IS NOT NULL),
+                   [CAST(len AS BIGINT)]) AS bpos
+          FROM d),
+        chunks AS (
+          SELECT doc_id,
+                 substring(text,
+                   CAST(CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END AS INT),
+                   CAST(bpos[j] -
+                     CASE WHEN j = 1 THEN 0 ELSE bpos[j - 1] END AS INT))
+                   AS chunk
+          FROM b, unnest(range(1, len(bpos) + 1)) AS t(j)),
+        ch AS (
+          SELECT ${PortableHash.md5LongSql("chunk")} AS h,
+                 CAST(length(chunk) AS BIGINT) AS clen
+          FROM chunks),
+        cs AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                      CAST(sum(clen) AS BIGINT) AS total_bytes FROM ch),
+        ds AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+                 CAST(sum(clen1) AS BIGINT) AS distinct_bytes
+          FROM (SELECT h, min(clen) AS clen1 FROM ch GROUP BY h)),
+        docs AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_distinct_docs,
+                 CAST(sum(len1) AS BIGINT) AS doc_distinct_bytes
+          FROM (SELECT ${PortableHash.md5LongSql("text")} AS th,
+                       CAST(min(len) AS BIGINT) AS len1
+                FROM d GROUP BY 1))
+        SELECT n_chunks, n_distinct_chunks, total_bytes, distinct_bytes,
+               (total_bytes - distinct_bytes) * 10000 // total_bytes
+                 AS cdc_savings_bp,
+               (total_bytes - doc_distinct_bytes) * 10000 // total_bytes
+                 AS doc_savings_bp
+        FROM cs, ds, docs WHERE total_bytes > 0""")),
+
+    // --------------------------------------------------------------- q559
+    QDef("q559_logrank",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), expr("o_orderkey = l_orderkey"))
+          .groupBy("o_orderkey", "o_orderpriority", "o_orderstatus",
+            "o_orderdate")
+          .agg(max(expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))"))
+            .as("last_ship"))
+          .selectExpr(
+            """(last_ship - unix_millis(CAST(o_orderdate AS TIMESTAMP)))
+               DIV 86400000 AS tt""",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev",
+            """CASE WHEN CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2
+               THEN 1 ELSE 0 END AS g""")
+          .where(expr("tt >= 0"))
+        // bounded duration domain: per (time, group) death/at-risk counts
+        val cells = base.groupBy("tt").agg(
+          sum(when(col("g") === 1 && col("ev") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("g") === 0 && col("ev") === 1, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"))
+        val w = Window.orderBy("tt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = base.agg(
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0tot"))
+        val risk = cells.crossJoin(broadcast(tot))
+          .withColumn("cum1", sum("c1").over(w).cast("long"))
+          .withColumn("cum0", sum("c0").over(w).cast("long"))
+          .selectExpr("tt", "d1", "d0",
+            "n1tot - cum1 + c1 AS r1", "n0tot - cum0 + c0 AS r0")
+          .where(expr("d1 + d0 > 0 AND r1 + r0 > 1"))
+          .selectExpr("d1", "d0", "r1", "r0",
+            """CAST(floor((d1 - CAST(d1 + d0 AS DOUBLE) * r1 / (r1 + r0))
+                 * 1000000) AS BIGINT) AS oe_micro""",
+            """CAST(floor(CAST(d1 + d0 AS DOUBLE) * r1 / (r1 + r0)
+                 * r0 / (r1 + r0) * (r1 + r0 - d1 - d0) / (r1 + r0 - 1)
+                 * 1000000) AS BIGINT) AS v_micro""")
+        risk.agg(
+            sum("d1").cast("long").as("obs1"),
+            sum("d0").cast("long").as("obs0"),
+            sum("oe_micro").cast("long").as("oe_sum_micro"),
+            sum("v_micro").cast("long").as("v_sum_micro"))
+          .where(expr("v_sum_micro > 0"))
+          .selectExpr("obs1", "obs0", "oe_sum_micro",
+            """CAST(floor(CAST(oe_sum_micro AS DOUBLE) / 1e6
+                 / sqrt(CAST(v_sum_micro AS DOUBLE) / 1e6) * 1000) AS BIGINT)
+               AS z_milli""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT (max(epoch_ms(l.l_shipdate)) - epoch_ms(o.o_orderdate))
+                   // 86400000 AS tt,
+                 CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+                 CASE WHEN CAST(substring(o.o_orderpriority, 1, 1) AS INT) <= 2
+                   THEN 1 ELSE 0 END AS g
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+                   o.o_orderdate
+          HAVING (max(epoch_ms(l.l_shipdate)) - epoch_ms(o.o_orderdate))
+                   // 86400000 >= 0),
+        cells AS (
+          SELECT tt,
+                 CAST(sum(CASE WHEN g = 1 AND ev = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN g = 0 AND ev = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d0,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+          FROM base GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1tot,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0tot
+          FROM base),
+        risk AS (
+          SELECT d1, d0,
+                 n1tot - CAST(sum(c1) OVER (ORDER BY tt
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) + c1 AS r1,
+                 n0tot - CAST(sum(c0) OVER (ORDER BY tt
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) + c0 AS r0
+          FROM cells, tot),
+        terms AS (
+          SELECT d1, d0, r1, r0,
+                 CAST(floor((d1 - CAST(d1 + d0 AS DOUBLE) * r1 / (r1 + r0))
+                   * 1000000) AS BIGINT) AS oe_micro,
+                 CAST(floor(CAST(d1 + d0 AS DOUBLE) * r1 / (r1 + r0)
+                   * r0 / (r1 + r0) * (r1 + r0 - d1 - d0) / (r1 + r0 - 1)
+                   * 1000000) AS BIGINT) AS v_micro
+          FROM risk WHERE d1 + d0 > 0 AND r1 + r0 > 1),
+        c AS (
+          SELECT CAST(sum(d1) AS BIGINT) AS obs1,
+                 CAST(sum(d0) AS BIGINT) AS obs0,
+                 CAST(sum(oe_micro) AS BIGINT) AS oe_sum_micro,
+                 CAST(sum(v_micro) AS BIGINT) AS v_sum_micro
+          FROM terms)
+        SELECT obs1, obs0, oe_sum_micro,
+               CAST(floor(CAST(oe_sum_micro AS DOUBLE) / 1e6
+                 / sqrt(CAST(v_sum_micro AS DOUBLE) / 1e6) * 1000) AS BIGINT)
+                 AS z_milli
+        FROM c WHERE v_sum_micro > 0""")),
+
+    // --------------------------------------------------------------- q560
+    QDef("q560_ordered_target_stats",
+      (s, dir) => {
+        val rows = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            expr("l_partkey = p_partkey"))
+          .selectExpr("p_brand AS brand",
+            "unix_millis(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000 AS day",
+            "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END AS y")
+        val prior = rows.agg(
+          (sum("y") * 1000000L / count(lit(1))).cast("long").as("prior_ppm"))
+        // DAY-granularity ordered statistics: the prefix window runs on
+        // the bounded (brand, day) aggregate, never on raw rows — the
+        // encoding for day d uses strictly-prior days (leak-free AND
+        // scale-safe; a per-brand raw-row window would serialize 1/25
+        // of the fact table into one task at 100×)
+        val daily = rows.groupBy("brand", "day").agg(
+          count(lit(1)).as("dn"), sum("y").cast("long").as("dx"))
+        val wb = Window.partitionBy("brand").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dayEnc = daily.crossJoin(broadcast(prior))
+          .withColumn("cumx", coalesce(sum("dx").over(wb), lit(0L)).cast("long"))
+          .withColumn("cumn", coalesce(sum("dn").over(wb), lit(0L)).cast("long"))
+          .withColumn("enc_ppm",
+            expr("(cumx * 1000000 + 10 * prior_ppm) DIV (cumn + 10)"))
+          .select("brand", "day", "enc_ppm")
+        val enc = rows.join(dayEnc, Seq("brand", "day"))
+        val fullEnc = rows.crossJoin(broadcast(prior))
+          .groupBy("brand", "prior_ppm").agg(
+            count(lit(1)).as("n"), sum("y").cast("long").as("x"))
+          .selectExpr("brand",
+            "(x * 1000000 + 10 * prior_ppm) DIV (n + 10) AS full_ppm")
+        enc.join(broadcast(fullEnc), "brand")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("y") === 1, col("enc_ppm")).otherwise(0L))
+              .cast("long").as("s_pos"),
+            sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("y") === 0, col("enc_ppm")).otherwise(0L))
+              .cast("long").as("s_neg"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"),
+            sum(abs(col("enc_ppm") - col("full_ppm"))).cast("long").as("s_gap"))
+          .where(expr("n_pos > 0 AND n_neg > 0"))
+          .selectExpr("n_rows",
+            "s_pos DIV n_pos AS mean_enc_pos_ppm",
+            "s_neg DIV n_neg AS mean_enc_neg_ppm",
+            "s_pos DIV n_pos - s_neg DIV n_neg AS separation_ppm",
+            "s_gap DIV n_rows AS mean_abs_gap_ppm")
+      },
+      Some("""
+        WITH rows_ AS (
+          SELECT p.p_brand AS brand,
+                 epoch_ms(l.l_shipdate) // 86400000 AS day,
+                 CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        prior AS (
+          SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS prior_ppm
+          FROM rows_),
+        daily AS (
+          SELECT brand, day, CAST(count(*) AS BIGINT) AS dn,
+                 CAST(sum(y) AS BIGINT) AS dx
+          FROM rows_ GROUP BY 1, 2),
+        dayenc AS (
+          SELECT brand, day,
+                 (coalesce(CAST(sum(dx) OVER (PARTITION BY brand
+                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) * 1000000
+                  + 10 * prior_ppm)
+                 // (coalesce(CAST(sum(dn) OVER (PARTITION BY brand
+                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) + 10) AS enc_ppm
+          FROM daily, prior),
+        enc AS (
+          SELECT r.y, r.brand, d.enc_ppm
+          FROM rows_ r JOIN dayenc d ON r.brand = d.brand AND r.day = d.day),
+        fullenc AS (
+          SELECT brand,
+                 (CAST(sum(y) AS BIGINT) * 1000000 + 10 * max(prior_ppm))
+                   // (CAST(count(*) AS BIGINT) + 10) AS full_ppm
+          FROM rows_, prior GROUP BY brand),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN e.y = 1 THEN e.enc_ppm ELSE 0 END)
+                   AS BIGINT) AS s_pos,
+                 CAST(sum(CASE WHEN e.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 CAST(sum(CASE WHEN e.y = 0 THEN e.enc_ppm ELSE 0 END)
+                   AS BIGINT) AS s_neg,
+                 CAST(sum(CASE WHEN e.y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+                 CAST(sum(abs(e.enc_ppm - f.full_ppm)) AS BIGINT) AS s_gap
+          FROM enc e JOIN fullenc f ON e.brand = f.brand)
+        SELECT n_rows,
+               s_pos // n_pos AS mean_enc_pos_ppm,
+               s_neg // n_neg AS mean_enc_neg_ppm,
+               s_pos // n_pos - s_neg // n_neg AS separation_ppm,
+               s_gap // n_rows AS mean_abs_gap_ppm
+        FROM c WHERE n_pos > 0 AND n_neg > 0""")),
+
+    // --------------------------------------------------------------- q561
+    QDef("q561_katz_centrality",
+      (s, dir) => {
+        val lp = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey AS ok", "l_partkey % 64 AS pk").distinct()
+        val e = lp.selectExpr("ok", "pk AS a")
+          .join(lp.selectExpr("ok", "pk AS b"), Seq("ok"))
+          .where(expr("a <> b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .select("a", "b")
+        e.cache(); e.count()
+        val nodes = e.select(col("a").as("id")).distinct()
+        def step(x: org.apache.spark.sql.DataFrame) =
+          nodes.join(
+              e.join(x.selectExpr("id AS b", "x AS xb"), "b")
+                .groupBy("a").agg(sum("xb").cast("long").as("sx")),
+              col("id") === col("a"), "left")
+            .selectExpr("id", "1000 + coalesce(sx, 0L) DIV 4 AS x")
+        val x0 = nodes.withColumn("x", lit(1000L))
+        val x3 = step(step(step(x0)))
+        x3.orderBy(col("x").desc, col("id")).limit(10)
+          .selectExpr("id", "x AS katz_milli")
+      },
+      Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 64 AS pk
+                    FROM lineitem),
+        e AS (
+          SELECT a.pk AS a, b.pk AS b
+          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        nodes AS (SELECT DISTINCT a AS id FROM e),
+        x0 AS (SELECT id, CAST(1000 AS BIGINT) AS x FROM nodes),
+        x1 AS (
+          SELECT n.id, 1000 + coalesce(s.sx, 0) // 4 AS x
+          FROM nodes n LEFT JOIN (
+            SELECT e.a, CAST(sum(x0.x) AS BIGINT) AS sx
+            FROM e JOIN x0 ON e.b = x0.id GROUP BY e.a) s ON n.id = s.a),
+        x2 AS (
+          SELECT n.id, 1000 + coalesce(s.sx, 0) // 4 AS x
+          FROM nodes n LEFT JOIN (
+            SELECT e.a, CAST(sum(x1.x) AS BIGINT) AS sx
+            FROM e JOIN x1 ON e.b = x1.id GROUP BY e.a) s ON n.id = s.a),
+        x3 AS (
+          SELECT n.id, 1000 + coalesce(s.sx, 0) // 4 AS x
+          FROM nodes n LEFT JOIN (
+            SELECT e.a, CAST(sum(x2.x) AS BIGINT) AS sx
+            FROM e JOIN x2 ON e.b = x2.id GROUP BY e.a) s ON n.id = s.a)
+        SELECT id, CAST(x AS BIGINT) AS katz_milli
+        FROM x3 ORDER BY x DESC, id LIMIT 10"""))
+  )
+}
