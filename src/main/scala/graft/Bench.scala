@@ -29,10 +29,19 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings → file: the driver keeps only a ~2000-char
+    // stdout tail (BENCH_r02/r03 parsed at 42/51 queries, r04/r05 with
+    // 500+ queries did not), so the stdout line carries the slowest 40
+    // (the regression-relevant ones) and the file carries everything.
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
+    val top = results.sortBy(-_._2).take(40).sortBy(_._1)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_all":"BENCH_local.json","queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5Long(Cast(children(0), org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_cdc_chunks(string)")
+        CdcChunks(Cast(children(0), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tile_y"),
       new ExpressionInfo(classOf[TileY].getName, "graft_tile_y"),
       (children: Seq[Expression]) => {

@@ -111,14 +111,21 @@ object QueriesEB extends QueryPack {
           .agg(
             sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
             sum(when(col("g") === 1, col("y")).otherwise(0L)).cast("long").as("s1"),
-            sum(when(col("g") === 1, expr("y*y")).otherwise(0L)).cast("long").as("ss1"),
+            // Σy² in DECIMAL(38,0): y² ≤ ~3.6e11 per row is int64-safe, but
+            // the SUM crosses int64 around sf~150 — decimal keeps the
+            // accumulation exact at any SF (per-row y*y stays int64)
+            sum(when(col("g") === 1, expr("y*y")).otherwise(0L)
+              .cast("decimal(38,0)")).as("ss1"),
             sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0"),
             sum(when(col("g") === 0, col("y")).otherwise(0L)).cast("long").as("s0"),
-            sum(when(col("g") === 0, expr("y*y")).otherwise(0L)).cast("long").as("ss0"))
+            sum(when(col("g") === 0, expr("y*y")).otherwise(0L)
+              .cast("decimal(38,0)")).as("ss0"))
           .where(expr("n1 > 1 AND n0 > 1"))
           // sample variances in DOUBLE (n·Σy² would overflow int64): the
           // operand order below is mirrored literally in the oracle, so
-          // every IEEE rounding step is identical in both engines
+          // every IEEE rounding step is identical in both engines; the
+          // exact decimal Σy² casts to the same correctly-rounded double
+          // in both engines
           .selectExpr("n1", "n0", "s1", "s0",
             "(CAST(ss1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1) / n1 / (n1 - 1) AS v1",
             "(CAST(ss0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0) / n0 / (n0 - 1) AS v0")
@@ -142,10 +149,10 @@ object QueriesEB extends QueryPack {
         c AS (
           SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                  CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
-                 CAST(sum(CASE WHEN g = 1 THEN y*y ELSE 0 END) AS BIGINT) AS ss1,
+                 CAST(sum(CASE WHEN g = 1 THEN y*y ELSE 0 END) AS DECIMAL(38,0)) AS ss1,
                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
                  CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
-                 CAST(sum(CASE WHEN g = 0 THEN y*y ELSE 0 END) AS BIGINT) AS ss0
+                 CAST(sum(CASE WHEN g = 0 THEN y*y ELSE 0 END) AS DECIMAL(38,0)) AS ss0
           FROM o),
         v AS (
           SELECT n1, n0, s1, s0,

@@ -125,31 +125,48 @@ object QueriesEG extends QueryPack {
         val d = t(s, dir, "documents")
           .where(col("text").isNotNull && length(col("text")) >= 2)
           .select(col("source"), col("text"))
-        val uni = d
-          .select(col("source"),
-            explode(expr("sequence(1, length(text))")).as("i"), col("text"))
-          .selectExpr("source", "substring(text, i, 1) AS c")
-          .groupBy("source", "c").agg(count(lit(1)).as("cnt"))
-        val uniTot = uni.groupBy("source").agg(
-          sum("cnt").cast("long").as("tot"), count(lit(1)).as("alpha"))
-        val h0 = uni.join(uniTot, "source")
+        // ONE O(len) pass per doc: zip the char array with its shift
+        // (zip_with null-pads the shorter side, so every char appears
+        // exactly once as c1, the doc's last char with c2 = NULL). The
+        // aggregated (c1, c2) table is tiny (alphabet² × sources) and
+        // yields unigram counts as its c1-marginals — the prior
+        // explode(sequence)+substring(text,i,1) idiom re-scanned the
+        // string per position (O(len²) per doc; r5 verdict weak-list #2)
+        val pairs = d
+          .select(col("source"), explode(expr(
+            """zip_with(split(text, ''),
+                        slice(split(text, ''), 2, length(text) - 1),
+                        (a, b) -> struct(a AS c1, b AS c2))""")).as("p"))
+          .select(col("source"), col("p.c1").as("c1"), col("p.c2").as("c2"))
+          .groupBy("source", "c1", "c2").agg(count(lit(1)).as("n12c"))
+          .cache()
+        // eager materialization: referenced from the h0 and h1 subtrees
+        // of one job (see the QueriesC.scala cache-race note)
+        pairs.count()
+        val uni = pairs
+          .groupBy(col("source"), col("c1").as("c"))
+          .agg(sum("n12c").cast("long").as("cnt"))
+        // per-source totals as windows over the ALREADY-AGGREGATED char
+        // table (≤ alphabet×sources rows) — no self-join, so the explode
+        // pipeline above is computed exactly once
+        val h0 = uni
+          .selectExpr("source", "cnt",
+            "CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot",
+            "count(1) OVER (PARTITION BY source) AS alpha")
           .selectExpr("source", "tot", "alpha",
             """CAST(floor(CAST(cnt AS DOUBLE) / tot
                  * ln(CAST(tot AS DOUBLE) / cnt) * 1000000) AS BIGINT)
                AS term""")
           .groupBy("source", "tot", "alpha")
           .agg(sum("term").cast("long").as("h0_micro"))
-        val big = d
-          .select(col("source"),
-            explode(expr("sequence(1, length(text) - 1)")).as("i"), col("text"))
-          .selectExpr("source", "substring(text, i, 1) AS c1",
-            "substring(text, i + 1, 1) AS c2")
-          .groupBy("source", "c1", "c2").agg(count(lit(1)).as("n12"))
-        val ctx = big.groupBy("source", "c1").agg(
-          sum("n12").cast("long").as("n1"))
-        val bigTot = big.groupBy("source").agg(
-          sum("n12").cast("long").as("totb"))
-        val h1 = big.join(ctx, Seq("source", "c1")).join(bigTot, "source")
+        // bigrams: the non-NULL-c2 rows of the cached pairs table
+        val big = pairs.where(col("c2").isNotNull)
+          .select(col("source"), col("c1"), col("c2"),
+            col("n12c").cast("long").as("n12"))
+        val h1 = big
+          .selectExpr("source", "n12",
+            "CAST(sum(n12) OVER (PARTITION BY source, c1) AS BIGINT) AS n1",
+            "CAST(sum(n12) OVER (PARTITION BY source) AS BIGINT) AS totb")
           .selectExpr("source",
             """CAST(floor(CAST(n12 AS DOUBLE) / totb
                  * ln(CAST(n1 AS DOUBLE) / n12) * 1000000) AS BIGINT)

@@ -46,23 +46,16 @@ object QueriesEM extends QueryPack {
         val d = t(s, dir, "documents")
           .where(col("text").isNotNull && length(col("text")) >= 4)
           .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-          // boundary positions: i >= 4 with 4-gram hash % 64 = 0, plus len
-          .withColumn("bpos", expr(
-            """concat(
-                 filter(transform(sequence(4, len), i ->
-                   CASE WHEN (ascii(substring(text, i - 3, 1)) * 29791
-                       + ascii(substring(text, i - 2, 1)) * 961
-                       + ascii(substring(text, i - 1, 1)) * 31
-                       + ascii(substring(text, i, 1))) % 64 = 0
-                     AND i < len THEN i ELSE NULL END), x -> x IS NOT NULL),
-                 array(len))"""))
-          .withColumn("chunks", expr(
-            """transform(sequence(1, size(bpos)), j ->
-                 substring(text,
-                   CASE WHEN j = 1 THEN 1 ELSE bpos[j - 2] + 1 END,
-                   bpos[j - 1] -
-                     CASE WHEN j = 1 THEN 0 ELSE bpos[j - 2] END))"""))
-        val ch = d.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        // native one-pass chunker (graft.expressions.CdcChunks): O(len)
+        // per doc vs the composed transform/substring form's O(len²) —
+        // value-identical boundary rule (4-gram first-byte hash % 64 = 0,
+        // final boundary at len); the oracle SQL below keeps the composed
+        // form, so parity is still checked end-to-end.
+        val ch = d
+          .select(col("doc_id"), explode(org.apache.spark.sql.GraftColumnBridge
+            .column(graft.expressions.CdcChunks(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+            ).as("chunk"))
           .select(PortableHash.md5Long(col("chunk")).as("h"),
             length(col("chunk")).as("clen"))
         val chunkStats = ch.agg(

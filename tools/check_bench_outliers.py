@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Perf gate: fail if any query exceeds OUTLIER_X times the suite median.
+
+Correctness gates cannot catch correct-but-quadratic plans (r5 shipped
+q558 at 500x the median with every oracle green); this can. Reads the
+full per-query timings that graft.Bench writes to BENCH_local.json.
+
+Usage: python3 tools/check_bench_outliers.py [BENCH_local.json] [mult]
+Exit 1 when an outlier exists (and prints it), 0 otherwise.
+"""
+import json
+import statistics
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
+mult = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+
+with open(path) as f:
+    data = json.loads(f.read())
+qs = data["queries"]
+med = statistics.median(qs.values())
+# floor the threshold: on a tiny SF the median is ~0.1s and honest
+# multi-stage queries (iterative graph rounds, IRLS) are legitimately 2s+
+thresh = max(med * mult, 8.0)
+bad = {k: v for k, v in qs.items() if v > thresh}
+print(f"median {med:.3f}s over {len(qs)} queries; gate {thresh:.1f}s")
+for k, v in sorted(bad.items(), key=lambda kv: -kv[1]):
+    print(f"OUTLIER {k}: {v:.3f}s ({v / med:.0f}x median)")
+if bad:
+    sys.exit(1)
+print("ok: no query exceeds the outlier gate")
