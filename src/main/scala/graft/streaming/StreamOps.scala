@@ -202,6 +202,53 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)(stateEnc, outEnc)
   }
 
+  /** One load observation for a controlled resource (PID input). */
+  final case class LoadTick(key: Long, day: Long, load: Long)
+  /** PID state after the last processed tick. */
+  final case class PidState(
+      cap: Long, integ: Long, prevE: Long, lastDay: Long, first: Boolean)
+  /** Controller decision emitted per processed tick. */
+  final case class PidTick(key: Long, day: Long, load: Long, cap: Long, err: Long)
+
+  /** Streaming PID controller via flatMapGroupsWithState: the EXACT
+    * integer recurrence of batch q557_pid_replay (e = load − cap;
+    * integ += e; Δe = e − prevE, 0 on first; cap += (2e + integ/4 +
+    * 4Δe)/8), run per key with one tiny state record per controlled
+    * resource. Within a micro-batch rows are folded in day order;
+    * out-of-order ticks older than the last processed day are dropped
+    * (a controller cannot revise an already-issued decision).
+    * StreamOpsSpec proves per-key tick-for-tick equality with the batch
+    * recurrence on the real daily order loads across arbitrary
+    * micro-batch splits. */
+  def pidControl(ticks: Dataset[LoadTick]): Dataset[PidTick] = {
+    implicit val outEnc = Encoders.product[PidTick]
+    implicit val longEnc = Encoders.scalaLong
+    val stateEnc = Encoders.product[PidState]
+
+    def update(key: Long, rows: Iterator[LoadTick],
+               state: GroupState[PidState]): Iterator[PidTick] = {
+      var st = state.getOption.getOrElse(
+        PidState(0L, 0L, 0L, Long.MinValue, first = true))
+      val out = Seq.newBuilder[PidTick]
+      rows.toSeq.sortBy(_.day).foreach { t =>
+        if (t.day > st.lastDay) {
+          val e = t.load - st.cap
+          val integ = st.integ + e
+          val de = if (st.first) 0L else e - st.prevE
+          val cap = st.cap + (2 * e + integ / 4 + 4 * de) / 8
+          st = PidState(cap, integ, e, t.day, first = false)
+          out += PidTick(key, t.day, t.load, cap, e)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    ticks.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update)(stateEnc, outEnc)
+  }
+
   /** Stream-static enrichment join: each micro-batch of `stream` joins
     * the (small) static dimension with a broadcast hash join — no
     * streaming state at all, the dim is rebroadcast per batch, so dim

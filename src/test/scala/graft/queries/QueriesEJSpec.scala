@@ -9,7 +9,8 @@ class QueriesEJSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q546 matrix profile: brute-force replay of motif and discord") {
+  test("q546 banded matrix profile: brute-force replay of motif and " +
+      "discord within the |i-j| <= 365 band") {
     val r = SparkEntry.queries("q546_matrix_profile")(spark, dir).collect().head
     val ys = graft.Tables.t(spark, dir, "orders")
       .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day")
@@ -22,7 +23,7 @@ class QueriesEJSpec extends SparkSpec {
       (0 until 7).map(k => { val d = ys(i + k) - ys(j + k); d * d }).sum
     var motif = (Long.MaxValue, 0, 0)
     val nnd = Array.fill(nw + 1)(Long.MaxValue)
-    for (i <- 1 to nw; j <- (i + 7) to nw) {
+    for (i <- 1 to nw; j <- (i + 7) to math.min(i + 365, nw)) {
       val d = d2(i - 1, j - 1)
       if (d < motif._1) motif = (d, i, j)
       if (d < nnd(i)) nnd(i) = d

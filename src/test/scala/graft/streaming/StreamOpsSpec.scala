@@ -235,4 +235,56 @@ class StreamOpsSpec extends SparkSpec {
         "dim match enriched, miss kept with null tier")
     } finally query.stop()
   }
+
+  test("pidControl: streaming PID equals the batch q557 recurrence " +
+      "per key, tick for tick, across arbitrary micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // real inputs: daily order loads per priority class (5 keys), the
+    // single-key case being exactly q557_pid_replay's series
+    val dir = "/root/testdata/sf0.001"
+    val loads = graft.Tables.t(spark, dir, "orders")
+      .selectExpr(
+        "CAST(substring(o_orderpriority, 1, 1) AS LONG) AS key",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day")
+      .groupBy("key", "day").count()
+      .selectExpr("key", "day", "count AS load")
+      .as[LoadTick].collect().sortBy(t => (t.day, t.key))
+
+    val input = MemoryStream[LoadTick]
+    val query = StreamOps.pidControl(input.toDS())
+      .writeStream.format("memory").queryName("pid")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // uneven micro-batch splits (day order preserved across batches)
+      val cuts = Seq(loads.length / 7, loads.length / 3,
+        loads.length / 2, loads.length)
+      var off = 0
+      cuts.foreach { end =>
+        input.addData(loads.slice(off, end).toIndexedSeq: _*)
+        query.processAllAvailable()
+        off = end
+      }
+      val got = spark.table("pid").as[PidTick].collect()
+        .map(t => (t.key, t.day) -> (t.load, t.cap, t.err)).toMap
+
+      // batch replay of the q557 recurrence per key
+      var n = 0
+      loads.groupBy(_.key).foreach { case (key, ts) =>
+        var cap = 0L; var integ = 0L; var prevE = 0L; var first = true
+        ts.sortBy(_.day).foreach { t =>
+          val e = t.load - cap
+          integ += e
+          val de = if (first) 0L else e - prevE
+          cap = cap + (2 * e + integ / 4 + 4 * de) / 8
+          prevE = e; first = false; n += 1
+          assert(got((key, t.day)) == ((t.load, cap, e)),
+            s"key=$key day=${t.day}")
+        }
+      }
+      assert(got.size == n, "stream emitted exactly one tick per input")
+    } finally query.stop()
+  }
 }
