@@ -148,16 +148,23 @@ object QueriesEJ extends QueryPack {
         daily.cache(); daily.count()
         val mid = daily.agg(((min("day") + max("day")) / 2).cast("long").as("mid"))
         val marked = daily.crossJoin(broadcast(mid))
+        // component sums and Cramer products in DECIMAL(38,0): n·Σx²
+        // and (Σx)² cross int64 at ~10x sf0.1 (caught by ProbeScaleR5);
+        // exact decimal → identical correctly-rounded doubles vs the
+        // oracle's HUGEINT route
         val fit = marked.where(expr("day < mid"))
           .agg(count(lit(1)).as("n"),
             sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
-            sum(expr("x*y")).cast("long").as("sxy"),
-            sum(expr("x*x")).cast("long").as("sxx"))
-          .where(expr("n > 1 AND n*sxx > sx*sx"))
+            sum(expr("x*y").cast("decimal(38,0)")).as("sxy"),
+            sum(expr("x*x").cast("decimal(38,0)")).as("sxx"))
+          .selectExpr("n", "sx", "sy", "sxy", "sxx",
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num",
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den")
+          .where(expr("n > 1 AND den > 0"))
           .selectExpr("n AS n_pre",
-            "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS b",
-            """(CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
-               / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n AS a""")
+            "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS b",
+            """(CAST(sy AS DOUBLE) - CAST(num AS DOUBLE)
+               / CAST(den AS DOUBLE) * sx) / n AS a""")
         val post = marked.where(expr("day >= mid"))
           .crossJoin(broadcast(fit))
           .selectExpr("n_pre", "a", "b", "y",
@@ -192,17 +199,22 @@ object QueriesEJ extends QueryPack {
         mid AS (SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid
                 FROM daily),
         fit AS (
-          SELECT n AS n_pre,
-                 CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS b,
-                 (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
-                   / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n AS a
+          SELECT CAST(n AS BIGINT) AS n_pre,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS b,
+                 (CAST(sy AS DOUBLE) - CAST(num AS DOUBLE)
+                   / CAST(den AS DOUBLE) * sx) / n AS a
           FROM (
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                   CAST(sum(x*y) AS BIGINT) AS sxy,
-                   CAST(sum(x*x) AS BIGINT) AS sxx
-            FROM daily, mid WHERE day < mid)
-          WHERE n > 1 AND n*sxx > sx*sx),
+            SELECT n, sx, sy,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den
+            FROM (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy,
+                     CAST(sum(x*x) AS HUGEINT) AS sxx
+              FROM daily, mid WHERE day < mid))
+          WHERE n > 1 AND den > 0),
         post AS (
           SELECT f.n_pre, f.a, f.b,
                  CAST(count(*) AS BIGINT) AS n_post,
