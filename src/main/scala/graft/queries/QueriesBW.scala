@@ -216,14 +216,21 @@ object QueriesBW extends QueryPack {
             SR.withGlobalRankAndSum(perPart,
               Seq(col("v").desc, col("l_partkey")), col("v"), "k", "cum"),
             Seq(count(lit(1)).as("n"), sum("v").cast("bigint").as("tot")))
-          // chord from (0,0) to (n, tot): gap(k) ∝ n·cum − k·tot (exact)
-          .selectExpr("k", "cum", "n", "tot", "n * cum - k * tot AS gap")
+          // chord from (0,0) to (n, tot): gap(k) ∝ n·cum − k·tot, exact
+          // in DECIMAL(38,0) — n·cum crossed int64 at 10x sf0.1
+          // (ProbeScaleAll); reported in rank units (gap/tot ≤ n),
+          // which stays int64-safe at any SF
+          .selectExpr("k", "cum", "n", "tot",
+            """CAST(n AS DECIMAL(38,0)) * cum
+               - CAST(k AS DECIMAL(38,0)) * tot AS gap""")
         curve
           .crossJoin(broadcast(curve.agg(max("gap").as("mx"))))
           .where(col("gap") === col("mx"))
           .orderBy("k").limit(1)
           .selectExpr("CAST(k AS BIGINT) AS knee_k", "CAST(n AS BIGINT) AS n_parts",
-            "cum * 10000 DIV tot AS share_at_knee_bp", "gap AS gap_scaled")
+            "cum * 10000 DIV tot AS share_at_knee_bp",
+            """CAST(floor(CAST(gap AS DOUBLE) / CAST(tot AS DOUBLE) * 1000)
+               AS BIGINT) AS gap_rank_milli""")
       },
       Some(s"""
         WITH per_part AS (
@@ -239,15 +246,18 @@ object QueriesBW extends QueryPack {
                  count(*) OVER () AS n, sum(v) OVER () AS tot
           FROM per_part),
         g AS (
-          SELECT k, cum, n, tot, n * cum - k * tot AS gap,
-                 max(n * cum - k * tot) OVER () AS mx
+          SELECT k, cum, n, tot,
+                 CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * tot AS gap,
+                 max(CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * tot)
+                   OVER () AS mx
           FROM curve),
         best AS (
           SELECT *, row_number() OVER (ORDER BY k) AS rk
           FROM g WHERE gap = mx)
         SELECT CAST(k AS BIGINT) AS knee_k, CAST(n AS BIGINT) AS n_parts,
                CAST(cum * 10000 // tot AS BIGINT) AS share_at_knee_bp,
-               CAST(gap AS BIGINT) AS gap_scaled
+               CAST(floor(CAST(gap AS DOUBLE) / CAST(tot AS DOUBLE) * 1000)
+                 AS BIGINT) AS gap_rank_milli
         FROM best WHERE rk = 1"""))
   )
 }

@@ -220,8 +220,13 @@ object QueriesCH extends QueryPack {
           .join(nSd, col("vec_id") === col("n_id"))
           .groupBy("a_id").agg(sum("sd_n").cast("bigint").as("sd_nbrs"))
           .join(aSd, "a_id")
+          // greatest(·,1): duplicate-heavy corpora (10 exact copies per
+          // vector in the 10x probe) legitimately drive every neighbor
+          // distance to 0 — the standard LOF reachability floor keeps
+          // the ratio defined and is a no-op when any distance is > 0
           .selectExpr("a_id", "sd_a", "sd_nbrs",
-            """CAST(floor(CAST(sd_a * 5 AS DOUBLE) / CAST(sd_nbrs AS DOUBLE)
+            """CAST(floor(CAST(sd_a * 5 AS DOUBLE)
+               / CAST(greatest(sd_nbrs, 1) AS DOUBLE)
                * 1000000) AS BIGINT) AS lof_micro""")
           .orderBy(col("lof_micro").desc, col("a_id"))
           .limit(15)
@@ -268,7 +273,8 @@ object QueriesCH extends QueryPack {
           GROUP BY 1)
         SELECT a.a_id, sd.sd_a, a.sd_nbrs,
                CAST(floor(CAST(sd.sd_a * 5 AS DOUBLE)
-                 / CAST(a.sd_nbrs AS DOUBLE) * 1000000) AS BIGINT) AS lof_micro
+                 / CAST(greatest(a.sd_nbrs, 1) AS DOUBLE) * 1000000)
+                 AS BIGINT) AS lof_micro
         FROM agg a JOIN a_sd sd USING (a_id)
         ORDER BY lof_micro DESC, a_id LIMIT 15"""))
   )

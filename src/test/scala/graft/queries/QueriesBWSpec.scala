@@ -63,6 +63,6 @@ class QueriesBWSpec extends SparkSpec {
     assert(r.getAs[Long]("knee_k") <= r.getAs[Long]("n_parts"))
     val share = r.getAs[Long]("share_at_knee_bp")
     assert(share > 0L && share <= 10000L)
-    assert(r.getAs[Long]("gap_scaled") >= 0L)
+    assert(r.getAs[Long]("gap_rank_milli") >= 0L)
   }
 }
