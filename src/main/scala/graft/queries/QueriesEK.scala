@@ -193,13 +193,16 @@ object QueriesEK extends QueryPack {
         val xy = daily.crossJoin(broadcast(d0))
           .selectExpr("day - d0 AS x", "y")
         xy.cache(); xy.count()
+        // weighted sums in DECIMAL(38,0), product chains decimal-first:
+        // Σ w·x·y (w ppm × day × deci-revenue) crosses int64 at ~10x
+        // sf0.1 (ProbeScaleAll); oracle mirrors via HUGEINT
         def ols(df: org.apache.spark.sql.DataFrame, wCol: String) =
           df.agg(
             sum(expr(s"$wCol")).cast("long").as("sw"),
-            sum(expr(s"$wCol * x")).cast("long").as("swx"),
-            sum(expr(s"$wCol * y")).cast("long").as("swy"),
-            sum(expr(s"$wCol * x * x")).cast("long").as("swxx"),
-            sum(expr(s"$wCol * x * y")).cast("long").as("swxy"))
+            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x")).as("swx"),
+            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * y")).as("swy"),
+            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x * x")).as("swxx"),
+            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x * y")).as("swxy"))
             .where(expr("sw > 0 AND CAST(sw AS DOUBLE)*swxx > CAST(swx AS DOUBLE)*swx"))
             .selectExpr(
               "(CAST(sw AS DOUBLE)*swxy - CAST(swx AS DOUBLE)*swy) / (CAST(sw AS DOUBLE)*swxx - CAST(swx AS DOUBLE)*swx) AS b",
@@ -212,7 +215,7 @@ object QueriesEK extends QueryPack {
           .selectExpr("x", "y", "a", "b", "y - (a + b * x) AS r")
           .agg(max("a").as("a"), max("b").as("b"),
             count(lit(1)).as("n"),
-            sum(expr("CAST(floor(r * r) AS BIGINT)")).cast("long").as("srr"))
+            sum(expr("CAST(floor(r * r) AS DECIMAL(38,0))")).as("srr"))
           .selectExpr("a", "b",
             "1.345 * sqrt(CAST(srr AS DOUBLE) / n) AS c")
         def irls(prev: org.apache.spark.sql.DataFrame) = {
@@ -249,10 +252,10 @@ object QueriesEK extends QueryPack {
                    / (CAST(sw AS DOUBLE)*swxx - CAST(swx AS DOUBLE)*swx) * swx) / sw AS a
           FROM (
             SELECT CAST(count(*) AS BIGINT) AS sw,
-                   CAST(sum(x) AS BIGINT) AS swx,
-                   CAST(sum(y) AS BIGINT) AS swy,
-                   CAST(sum(x*x) AS BIGINT) AS swxx,
-                   CAST(sum(x*y) AS BIGINT) AS swxy
+                   CAST(sum(x) AS HUGEINT) AS swx,
+                   CAST(sum(y) AS HUGEINT) AS swy,
+                   CAST(sum(x*x) AS HUGEINT) AS swxx,
+                   CAST(sum(x*y) AS HUGEINT) AS swxy
             FROM xy)
           WHERE sw > 0 AND CAST(sw AS DOUBLE)*swxx > CAST(swx AS DOUBLE)*swx),
         sc AS (
@@ -261,7 +264,7 @@ object QueriesEK extends QueryPack {
             SELECT max(f.a) AS a, max(f.b) AS b,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(floor((xy.y - (f.a + f.b * xy.x))
-                     * (xy.y - (f.a + f.b * xy.x))) AS BIGINT)) AS BIGINT)
+                     * (xy.y - (f.a + f.b * xy.x))) AS HUGEINT)) AS HUGEINT)
                      AS srr
             FROM xy, f0 f)),
         w1 AS (
@@ -278,10 +281,10 @@ object QueriesEK extends QueryPack {
                  max(c2) AS c
           FROM (
             SELECT CAST(sum(w) AS BIGINT) AS sw,
-                   CAST(sum(w*x) AS BIGINT) AS swx,
-                   CAST(sum(w*y) AS BIGINT) AS swy,
-                   CAST(sum(w*x*x) AS BIGINT) AS swxx,
-                   CAST(sum(w*x*y) AS BIGINT) AS swxy,
+                   CAST(sum(CAST(w AS HUGEINT)*x) AS HUGEINT) AS swx,
+                   CAST(sum(CAST(w AS HUGEINT)*y) AS HUGEINT) AS swy,
+                   CAST(sum(CAST(w AS HUGEINT)*x*x) AS HUGEINT) AS swxx,
+                   CAST(sum(CAST(w AS HUGEINT)*x*y) AS HUGEINT) AS swxy,
                    max(c) AS c2
             FROM w1)
           GROUP BY sw, swx, swy, swxx, swxy, c2
@@ -300,10 +303,10 @@ object QueriesEK extends QueryPack {
                  max(c2) AS c, max(nd) AS ndown
           FROM (
             SELECT CAST(sum(w) AS BIGINT) AS sw,
-                   CAST(sum(w*x) AS BIGINT) AS swx,
-                   CAST(sum(w*y) AS BIGINT) AS swy,
-                   CAST(sum(w*x*x) AS BIGINT) AS swxx,
-                   CAST(sum(w*x*y) AS BIGINT) AS swxy,
+                   CAST(sum(CAST(w AS HUGEINT)*x) AS HUGEINT) AS swx,
+                   CAST(sum(CAST(w AS HUGEINT)*y) AS HUGEINT) AS swy,
+                   CAST(sum(CAST(w AS HUGEINT)*x*x) AS HUGEINT) AS swxx,
+                   CAST(sum(CAST(w AS HUGEINT)*x*y) AS HUGEINT) AS swxy,
                    max(c) AS c2,
                    CAST(sum(CASE WHEN w < 1000000 THEN 1 ELSE 0 END)
                      AS BIGINT) AS nd

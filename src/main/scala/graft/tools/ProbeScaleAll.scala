@@ -61,8 +61,12 @@ object ProbeScaleAll {
       s"lineitem=${Tables.t(spark, tmp, "lineitem").count()} (${factor}x)")
 
     var failed = 0
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .dropWhile(n => startAfter.exists(_ >= n))
+    val names = startAfter match {
+      case Some(list) if list.contains(",") =>
+        list.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case _ => SparkEntry.queries.keys.toSeq.sorted
+        .dropWhile(n => startAfter.exists(_ >= n))
+    }
     for (q <- names) {
       val t0 = System.nanoTime()
       try {
