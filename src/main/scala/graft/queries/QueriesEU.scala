@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Round-6 coverage additions, part 144 — BPE tokenizer training, the
+  * canonical LLM-pipeline vocabulary operator:
+  *
+  *  - q594: 4 merge rounds of byte-pair-encoding training, run the way
+  *    real BPE trainers run it — on the BOUNDED word census (distinct
+  *    words × corpus counts), never on raw text. Each round: count
+  *    adjacent symbol pairs (corpus-weighted, overlapping), pick the
+  *    max pair (deterministic lexicographic ties), apply the merge
+  *    greedily left-to-right. Greedy overlap chains (pair x=y inside
+  *    runs like "aaaa") are resolved EXACTLY with gaps-and-islands
+  *    windows: consecutive-match chains → merge at odd chain ranks,
+  *    consume the follower. Outputs each round's merge and the
+  *    corpus-weighted token count after it.
+  *
+  * The merge-round SQL is GENERATED ONCE and fed verbatim to both
+  * engines (Spark SQL over a temp view, DuckDB over the parquet) —
+  * only the initial symbol expansion differs by dialect, so the oracle
+  * checks the exact same relational algebra.
+  *
+  * Scale shape: all rounds operate on the word census (vocab-bounded,
+  * grows sublinearly with the corpus); windows partition by word. Raw
+  * text is touched exactly once to build the census.
+  */
+object QueriesEU extends QueryPack {
+  import Q._
+
+  private val rounds = 4
+
+  /** Round k: symsK → symsK+1, emitting mergeK (x, y, c, tokens_after).
+    * Pure ANSI window SQL — identical text runs on Spark and DuckDB. */
+  private def roundSql(k: Int): String = {
+    val in = s"syms$k"
+    val out = s"syms${k + 1}"
+    s"""
+    pairs$k AS (
+      SELECT word, wcnt, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM $in),
+    cnt$k AS (
+      SELECT sym AS x, nxt AS y, CAST(sum(wcnt) AS BIGINT) AS c
+      FROM pairs$k WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    best$k AS (SELECT x, y, c FROM cnt$k ORDER BY c DESC, x, y LIMIT 1),
+    mark$k AS (
+      SELECT p.word, p.wcnt, p.pos, p.sym, p.nxt,
+             CASE WHEN p.nxt IS NOT NULL AND p.sym = b.x AND p.nxt = b.y
+               THEN 1 ELSE 0 END AS ismatch
+      FROM pairs$k p CROSS JOIN best$k b),
+    run$k AS (
+      SELECT word, wcnt, pos, sym, nxt, ismatch,
+             CASE WHEN ismatch = 1 THEN row_number() OVER (
+               PARTITION BY word, ismatch, grp ORDER BY pos) END AS r
+      FROM (
+        SELECT *, pos - row_number() OVER (
+                 PARTITION BY word, ismatch ORDER BY pos) AS grp
+        FROM mark$k)),
+    mrg$k AS (
+      SELECT word, wcnt, pos, sym, nxt,
+             CASE WHEN ismatch = 1 AND r % 2 = 1 THEN 1 ELSE 0 END AS m
+      FROM run$k),
+    $out AS (
+      SELECT word, wcnt,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN m = 1 THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT *, coalesce(lag(m) OVER (PARTITION BY word ORDER BY pos),
+                 0) AS prevm
+        FROM mrg$k)
+      WHERE prevm = 0),
+    tok$k AS (SELECT CAST(sum(wcnt) AS BIGINT) AS tokens FROM $out),
+    merge$k AS (
+      SELECT CAST($k AS BIGINT) AS round, b.x, b.y, b.c AS pair_count,
+             t.tokens AS tokens_after
+      FROM best$k b CROSS JOIN tok$k t)"""
+  }
+
+  /** Shared tail: census → syms1 → rounds → union of merges. */
+  private def bodySql: String = {
+    val rs = (1 to rounds).map(roundSql).mkString(",")
+    val union = (1 to rounds).map(k => s"SELECT * FROM merge$k")
+      .mkString(" UNION ALL ")
+    s"""
+    syms1 AS (
+      SELECT word, wcnt, pos, sym FROM chars0),
+    $rs
+    SELECT round, x, y, pair_count, tokens_after FROM ($union) u
+    ORDER BY round"""
+  }
+
+  def defs: Seq[QDef] = Seq(
+
+    // --------------------------------------------------------------- q594
+    QDef("q594_bpe_train",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("docs_q594")
+        s.sql(s"""
+          WITH census AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt
+            FROM (
+              SELECT explode(CASE WHEN length(trim(text)) = 0
+                       THEN CAST(array() AS ARRAY<STRING>)
+                       ELSE split(trim(text), '\\\\s+') END) AS w
+              FROM docs_q594 WHERE text IS NOT NULL)
+            WHERE length(w) BETWEEN 1 AND 20
+            GROUP BY w),
+          chars0 AS (
+            SELECT word, wcnt, pos + 1 AS pos, sym
+            FROM census
+            LATERAL VIEW posexplode(split(word, '')) pe AS pos, sym),
+          ${bodySql}""")
+      },
+      Some(s"""
+        WITH census AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt
+          FROM (
+            SELECT unnest(${TextFunctions.wordsSql("text")}) AS w
+            FROM documents WHERE text IS NOT NULL)
+          WHERE length(w) BETWEEN 1 AND 20
+          GROUP BY w),
+        chars0 AS (
+          SELECT word, wcnt, CAST(r AS BIGINT) AS pos, word[r] AS sym
+          FROM census, unnest(range(1, length(word) + 1)) AS t(r)),
+        ${bodySql}"""))
+  )
+}
