@@ -201,7 +201,9 @@ object QueriesEO extends QueryPack {
           .selectExpr("a", "b", "c * 1000000 DIV rt AS p_ppm")
         p.cache(); p.count()
         val states = p.select(col("a").as("st")).distinct()
-        val k = states.count()
+        // max(·,1): empty input has no states, so x0 is empty anyway —
+        // the guard only keeps the driver-side literal defined
+        val k = math.max(states.count(), 1L)
         var x = states.withColumn("x", lit(1000000L / k))
         for (_ <- 1 to 3) {
           x = states.join(
