@@ -97,22 +97,58 @@ object QueriesEU extends QueryPack {
     // --------------------------------------------------------------- q594
     QDef("q594_bpe_train",
       (s, dir) => {
+        // Spark inlines CTEs, so a single 4-round WITH-chain re-evaluates
+        // every earlier round per reference (~9 s at sf0.1 despite a tiny
+        // census). Execute round-by-round instead, CACHING the symbol
+        // table between rounds — same relational algebra as the oracle's
+        // CTE chain (the DuckDB side keeps the generated text verbatim;
+        // QueriesEUSpec pins equality with a procedural BPE).
         t(s, dir, "documents").createOrReplaceTempView("docs_q594")
-        s.sql(s"""
+        var syms = s.sql("""
           WITH census AS (
             SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt
             FROM (
               SELECT explode(CASE WHEN length(trim(text)) = 0
                        THEN CAST(array() AS ARRAY<STRING>)
-                       ELSE split(trim(text), '\\\\s+') END) AS w
+                       ELSE split(trim(text), '\\s+') END) AS w
               FROM docs_q594 WHERE text IS NOT NULL)
             WHERE length(w) BETWEEN 1 AND 20
-            GROUP BY w),
-          chars0 AS (
-            SELECT word, wcnt, pos + 1 AS pos, sym
-            FROM census
-            LATERAL VIEW posexplode(split(word, '')) pe AS pos, sym),
-          ${bodySql}""")
+            GROUP BY w)
+          SELECT word, wcnt, CAST(pos + 1 AS BIGINT) AS pos, sym
+          FROM census
+          LATERAL VIEW posexplode(split(word, '')) pe AS pos, sym""")
+        val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+        for (k <- 1 to rounds) {
+          // localCheckpoint TRUNCATES the logical plan between rounds:
+          // each round references its input ~6× (pairs → cnt/best/mark/
+          // next/tok), so un-truncated lineage grows 6^k-fold and
+          // Catalyst analysis alone took ~100 s by round 4 — the same
+          // determinism-safe barrier ScaleRank uses
+          syms = syms.localCheckpoint()
+          syms.createOrReplaceTempView(s"syms$k")
+          // one round of the SAME generated SQL the oracle runs
+          val roundOut = s.sql(
+            s"WITH ${roundSql(k).trim} " +
+              s"SELECT m.round, m.x, m.y, m.pair_count, m.tokens_after, " +
+              s"n.word, n.wcnt, n.pos, n.sym " +
+              s"FROM merge$k m CROSS JOIN syms${k + 1} n")
+            .localCheckpoint()
+          // ONE summary row per round reaches the driver (bounded by the
+          // fixed round count — the labelPropagation convergence pattern;
+          // unioning the per-round sql plans instead trips Spark's
+          // DeduplicateRelations on the LATERAL VIEW attributes)
+          val r = roundOut
+            .selectExpr("round", "x", "y", "pair_count", "tokens_after")
+            .distinct().collect().head
+          merges += ((r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4)))
+          syms = roundOut.selectExpr("word", "wcnt", "pos", "sym")
+        }
+        val s2 = s
+        import s2.implicits._
+        merges.result()
+          .toDF("round", "x", "y", "pair_count", "tokens_after")
+          .orderBy("round")
       },
       Some(s"""
         WITH census AS (
