@@ -118,7 +118,8 @@ object QueriesEU extends QueryPack {
           FROM census
           LATERAL VIEW posexplode(split(word, '')) pe AS pos, sym""")
         val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-        for (k <- 1 to rounds) {
+        var exhausted = false
+        for (k <- 1 to rounds if !exhausted) {
           // localCheckpoint TRUNCATES the logical plan between rounds:
           // each round references its input ~6× (pairs → cnt/best/mark/
           // next/tok), so un-truncated lineage grows 6^k-fold and
@@ -137,12 +138,16 @@ object QueriesEU extends QueryPack {
           // fixed round count — the labelPropagation convergence pattern;
           // unioning the per-round sql plans instead trips Spark's
           // DeduplicateRelations on the LATERAL VIEW attributes)
-          val r = roundOut
+          roundOut
             .selectExpr("round", "x", "y", "pair_count", "tokens_after")
-            .distinct().collect().head
-          merges += ((r.getLong(0), r.getString(1), r.getString(2),
-            r.getLong(3), r.getLong(4)))
-          syms = roundOut.selectExpr("word", "wcnt", "pos", "sym")
+            .distinct().collect().headOption match {
+            case Some(r) =>
+              merges += ((r.getLong(0), r.getString(1), r.getString(2),
+                r.getLong(3), r.getLong(4)))
+              syms = roundOut.selectExpr("word", "wcnt", "pos", "sym")
+            case None => // no adjacent pairs left (or empty corpus)
+              exhausted = true
+          }
         }
         val s2 = s
         import s2.implicits._
