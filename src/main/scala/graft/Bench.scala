@@ -38,8 +38,10 @@ object Bench {
     // 500+ queries did not), so the stdout line carries the slowest 40
     // (the regression-relevant ones) and the file carries everything.
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
+    // dev-only subset runs must not clobber the committed full-suite file
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_all":"BENCH_local.json","queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
