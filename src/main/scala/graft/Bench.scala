@@ -20,19 +20,22 @@ object Bench {
       // which swings identical binaries by 4-10x on this box. Every run
       // still includes the full pipeline (no warm caches carried over).
       val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      var crashed = false
       val dt = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => crashed = true }
         (System.nanoTime() - t0) / 1e9
       }.min
       spark.catalog.clearCache()
-      name -> dt
+      // a crashing query must NOT land as a fast green entry: record -1 so
+      // tools/check_bench_outliers.py fails the gate on it.
+      name -> (if (crashed) -1.0 else dt)
     }
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Full per-query timings → file: the driver keeps only a ~2000-char
     // stdout tail (BENCH_r02/r03 parsed at 42/51 queries, r04/r05 with
     // 500+ queries did not), so the stdout line carries the slowest 40
@@ -43,7 +46,10 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_local.json"), fullJson + "\n")
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_all":"BENCH_local.json","queries":${jmap(top)},"sf":"$sfDir"}""")
+    // only advertise the full-suite file when this run actually wrote it
+    // (subset runs deliberately leave BENCH_local.json untouched)
+    val allRef = if (only.isEmpty) """"queries_all":"BENCH_local.json",""" else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$allRef"queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,15 @@ object ProbeScaleAll {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$tmp/$name.parquet")
     }
-    if (!new java.io.File(s"$tmp/lineitem.parquet").exists()) {
+    // The mirror is stamped with its build factor so a rerun at a
+    // different factor (or a pre-stamp leftover) rebuilds instead of
+    // silently auditing stale data.
+    val stamp = java.nio.file.Paths.get(s"$tmp/_factor")
+    val stampOk = java.nio.file.Files.exists(stamp) &&
+      java.nio.file.Files.readString(stamp).trim == factor.toString
+    if (new java.io.File(s"$tmp/lineitem.parquet").exists() && !stampOk)
+      println(s"[scale-all] stamp mismatch or missing at $tmp — rebuilding at ${factor}x")
+    if (!new java.io.File(s"$tmp/lineitem.parquet").exists() || !stampOk) {
       rep("orders", "o_orderkey", 100000000L)
       // lineitem keeps baskets intact under the same orderkey stride
       val li = Tables.t(spark, dir, "lineitem")
@@ -56,6 +64,7 @@ object ProbeScaleAll {
         Tables.t(spark, dir, d).write.mode("overwrite")
           .parquet(s"$tmp/$d.parquet")
       }
+      java.nio.file.Files.writeString(stamp, factor.toString)
     }
     println(s"[scale-all] dir=$tmp " +
       s"lineitem=${Tables.t(spark, tmp, "lineitem").count()} (${factor}x)")
