@@ -194,23 +194,38 @@ object QueriesDP extends QueryPack {
         val anon = prof.where(col("half") === 1)
           .selectExpr("user_id AS aid", "domi", "band", "t1 AS a1", "t2 AS a2",
             "t3 AS a3", "t4 AS a4", "t5 AS a5")
-        val cand = anon.join(known, Seq("domi", "band"))
+        // The block key (domi, band) has a BOUNDED domain (~5 × log2
+        // range), so the naive anon×known block join is quadratic in
+        // users-per-block and grows quadratically with the corpus.
+        // Dictionary-encode instead: the pairwise L1 join runs over
+        // DISTINCT profile vectors only (their count is bounded by value
+        // combinatorics, not by user count), with per-vector min-id and
+        // multiplicities carrying the exact original semantics:
+        //   argmin over users of (l1, kid)
+        //   == argmin over vectors of (l1, min kid with that vector).
+        val vecCols = Seq("domi", "band", "a1", "a2", "a3", "a4", "a5")
+        val kvec = known.groupBy("domi", "band", "k1", "k2", "k3", "k4", "k5")
+          .agg(min("kid").as("kid_min"))
+        val avec = anon.select(vecCols.map(col): _*).distinct()
+        val winners = avec.join(kvec, Seq("domi", "band"))
           .withColumn("l1",
             abs(col("a1") - col("k1")) + abs(col("a2") - col("k2")) +
               abs(col("a3") - col("k3")) + abs(col("a4") - col("k4")) +
               abs(col("a5") - col("k5")))
-        val matched = cand
-          .withColumn("rk", row_number().over(Window.partitionBy("aid")
-            .orderBy(col("l1"), col("kid"))))
-          .where(col("rk") === 1)
-        val blocks = cand.groupBy("aid")
-          .agg(count(lit(1)).cast("bigint").as("block_sz"))
-        matched.join(blocks, "aid")
+          .groupBy(vecCols.map(col): _*)
+          .agg(min(struct(col("l1"), col("kid_min"))).as("best"))
+          .select(vecCols.map(col) :+ col("best.kid_min").as("kid_win"): _*)
+        // per-block |known| replaces the per-aid candidate count: every
+        // aid in a block has exactly that many candidates
+        val blockKnown = known.groupBy("domi", "band")
+          .agg(count(lit(1)).cast("long").as("ksz"))
+        anon.join(winners, vecCols)
+          .join(blockKnown, Seq("domi", "band"))
           .groupBy(lit(1L).as("one")).agg(
             count(lit(1)).cast("long").as("attacked"),
-            sum(when(col("aid") === col("kid"), 1L).otherwise(0L))
+            sum(when(col("aid") === col("kid_win"), 1L).otherwise(0L))
               .cast("bigint").as("correct"),
-            sum("block_sz").cast("bigint").as("sum_block"))
+            sum("ksz").cast("bigint").as("sum_block"))
           .selectExpr("attacked", "correct",
             "correct * 10000 DIV attacked AS success_bp",
             "attacked * 10000 DIV sum_block AS chance_bp")
