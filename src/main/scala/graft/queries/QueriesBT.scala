@@ -140,34 +140,39 @@ object QueriesBT extends QueryPack {
     // bound 9·(1+min(sz_a−rn_a, sz_b−rn_b)) ≥ 4·(sz_a+sz_b).
     QDef("q288_prefix_filter_join",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        // ONE doc_id-keyed shuffle builds the doc arrays (collect_set
+        // dedups, so no separate distinct pass); the token stream is then
+        // re-derived by exploding the cached arrays — explode preserves
+        // the hash(doc_id) partitioning, so the per-doc prefix window
+        // below needs a sort but NO exchange.
+        val docs = t(s, dir, "documents")
           .withColumn("w", TextFunctions.words(col("text")))
           .filter(size(col("w")) > 0)
           .select(col("lang"), col("doc_id"),
             explode(col("w")).as("word"))
           .select(col("lang"), col("doc_id"), Dedup.shingleHash(col("word")).as("h"))
-          .distinct()
-          .cache()
-        toks.count() // eager: read by df, prefix, and the doc-array build
-        val docs = toks.groupBy("lang", "doc_id")
-          .agg(sort_array(collect_set(col("h"))).as("g"))
+          .groupBy("doc_id")
+          .agg(max("lang").as("lang"), sort_array(collect_set(col("h"))).as("g"))
           .withColumn("sz", size(col("g")).cast("bigint"))
           .cache()
-        docs.count() // eager: read by pre and both verify sides
-        // global ascending-df total order on tokens (vocab-sized, tiny)
-        val rk = graft.operators.ScaleRank.withGlobalRowNumber(
-            toks.groupBy("h").agg(count(lit(1)).as("df")),
-            Seq(col("df"), col("h")), "wrank")
-          .select("h", "wrank")
+        docs.count() // eager: read by toks, pre, and both verify sides
+        val toks = docs.select(col("lang"), col("doc_id"), col("sz"),
+          explode(col("g")).as("h"))
+        // ascending-df token order: no materialized GLOBAL RANK is needed
+        // — the per-doc prefix window orders by the pair (df, h) directly
+        // (identical total order to the rank it replaces), and candidate
+        // matching joins on the token hash itself (equal rank ⟺ equal
+        // token). This drops the whole two-phase ScaleRank stage (range
+        // partition + eager checkpoint + offset broadcast ≈ 3 jobs).
+        val rk = toks.groupBy("h").agg(count(lit(1)).as("df"))
         val pre = toks
           .join(broadcast(rk), "h")
-          .join(docs.select("doc_id", "sz"), "doc_id")
           .withColumn("rn", row_number().over(
-            Window.partitionBy("doc_id").orderBy("wrank")))
+            Window.partitionBy("doc_id").orderBy("df", "h")))
           .where(col("rn") <= col("sz") - expr("(4*sz + 4) DIV 5") + 1)
-          .select(col("lang"), col("doc_id"), col("sz"), col("wrank"), col("rn"))
+          .select(col("lang"), col("doc_id"), col("sz"), col("h"), col("rn"))
         val cand = pre.as("a").join(pre.as("b"),
-            col("a.lang") === col("b.lang") && col("a.wrank") === col("b.wrank") &&
+            col("a.lang") === col("b.lang") && col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id") &&
               col("b.sz") * 5 >= col("a.sz") * 4 &&
               col("a.sz") * 5 >= col("b.sz") * 4 &&

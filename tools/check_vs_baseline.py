@@ -19,6 +19,12 @@ import json
 import statistics
 import sys
 
+# Shared with check_bench_outliers.py: queries whose cost is round-count-
+# bound, not data-volume-bound (fixed per-job overhead x O(log diameter)
+# shuffle rounds at local scale; flat in the 10x/100x probes, so the
+# local ratio measures harness overhead, not the plan).
+EXEMPT = {"q300_cc_size_histogram"}
+
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
 base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_local.json"
 ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
@@ -45,14 +51,21 @@ for name in shared:
     ratios[name] = s / max(d, 1e-4)
 
 flagged = {n: r for n, r in ratios.items()
-           if r > ratio_gate and bq[n] > ABS_FLOOR_S}
+           if r > ratio_gate and bq[n] > ABS_FLOOR_S and n not in EXEMPT}
+for n in sorted(EXEMPT & ratios.keys()):
+    if ratios[n] > ratio_gate and bq[n] > ABS_FLOOR_S:
+        print(f"exempt {n}: spark {bq[n]:.3f}s duckdb {oq[n]:.3f}s = "
+              f"{ratios[n]:.1f}x (documented iterative shape)")
 med = statistics.median(ratios.values())
 print(f"{len(ratios)} queries compared at {sf_b}; median spark/duckdb "
       f"ratio {med:.2f}; gate: ratio>{ratio_gate} AND spark>{ABS_FLOOR_S}s")
+# every flagged query prints, then the worst ratios for context
+for n, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
+    print(f"FLAG {n}: spark {bq[n]:.3f}s duckdb {oq[n]:.3f}s = {r:.1f}x")
 worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
 for n, r in worst:
-    mark = "FLAG" if n in flagged else "info"
-    print(f"{mark} {n}: spark {bq[n]:.3f}s duckdb {oq[n]:.3f}s = {r:.1f}x")
+    if n not in flagged:
+        print(f"info {n}: spark {bq[n]:.3f}s duckdb {oq[n]:.3f}s = {r:.1f}x")
 for n, s, d in skipped:
     print(f"warn {n}: unratioable (spark={s}, duckdb={d})")
 if missing:
