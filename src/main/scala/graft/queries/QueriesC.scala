@@ -4,6 +4,7 @@ import graft.Tables.t
 import graft.dedup.{Components, Dedup}
 import graft.functions.{PortableHash, TextFunctions, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2C LLM-pipeline deduplication over `documents`/`embeddings`
@@ -197,7 +198,16 @@ object QueriesC extends QueryPack {
 
     // ---------------------------------------------------------------- q33
     // Blocked n-gram Jaccard: (lang, length-band) blocking → char-3-gram
-    // set similarity within block → top 20.
+    // set similarity within block → top 20. EXACT adaptive-threshold
+    // PPJoin: the naive within-block all-pairs join is O(Σ block²) — at a
+    // 100× corpus each (lang, band) block grows 100×, so pairs grow
+    // 10,000× (measured: 660 s at the 100× perturbed mirror). Instead,
+    // descend a threshold ladder t ∈ {9/10, 4/5, 3/5, 2/5, 1/5}: at each
+    // rung run a prefix-filtered candidate join (q288's pigeonhole +
+    // size + positional filters) and verify exactly; stop as soon as ≥20
+    // pairs pass. Exactness: every pair NOT generated at rung p/q has
+    // jac < p/q, hence jac_bp ≤ p·10000/q − 1 < the 20th found value —
+    // the found set provably contains the global top-20 including ties.
     QDef("q33_dedup_ngram_jaccard",
       (s, dir) => {
         // positions exploded → substr + md5 inside codegen → collect_set:
@@ -210,16 +220,69 @@ object QueriesC extends QueryPack {
           .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
           .groupBy("lang", "blk", "doc_id")
           .agg(sort_array(collect_set(col("h"))).as("g"))
+          .withColumn("sz", size(col("g")).cast("bigint"))
           .cache()
-        docs.count() // eager: both self-join sides read the cache
-        val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
-        val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
-        a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
-          .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
-          .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
-          .select("lang", "id_a", "id_b", "jac_bp")
-          .orderBy(col("jac_bp").desc, col("id_a"), col("id_b"))
-          .limit(20)
+        docs.count() // eager: rungs, fallback, and both verify sides
+        // ascending-df shingle order via the (df, h) pair (q288's trick —
+        // no materialized global rank). The char-3-gram domain is bounded
+        // by charset³, so the df table broadcasts at any corpus size.
+        val rk = docs
+          .select(explode(col("g")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val ranked = docs
+          .select(col("lang"), col("blk"), col("doc_id"), col("sz"),
+            explode(col("g")).as("h"))
+          .join(broadcast(rk), "h")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")))
+          .select("lang", "blk", "doc_id", "sz", "h", "rn")
+          .cache()
+        ranked.count() // eager: both candidate sides, every rung
+        def rung(p: Long, q: Long): org.apache.spark.sql.DataFrame = {
+          val pre = ranked.where(
+            col("rn") <= col("sz") - expr(s"($p*sz + ${q - 1}) DIV $q") + 1)
+          val cand = pre.as("a").join(pre.as("b"),
+              col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+                col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+                col("b.sz") * q >= col("a.sz") * p &&
+                col("a.sz") * q >= col("b.sz") * p &&
+                (lit(1L) + least(col("a.sz") - col("a.rn"),
+                  col("b.sz") - col("b.rn"))) * (p + q) >=
+                  (col("a.sz") + col("b.sz")) * p)
+            .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
+              col("b.doc_id").as("id_b"))
+            .distinct()
+          cand
+            .join(docs.select(col("doc_id").as("id_a"), col("g").as("g_a"),
+              col("sz").as("sz_a")), Seq("id_a"))
+            .join(docs.select(col("doc_id").as("id_b"), col("g").as("g_b"),
+              col("sz").as("sz_b")), Seq("id_b"))
+            .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
+            .where(col("inter") * (p + q) >= (col("sz_a") + col("sz_b")) * p)
+            .withColumn("jac_bp",
+              Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
+            .select("lang", "id_a", "id_b", "jac_bp")
+        }
+        val rungs = Seq((9L, 10L), (4L, 5L), (3L, 5L), (2L, 5L), (1L, 5L))
+        var result: Option[org.apache.spark.sql.DataFrame] = None
+        for (r <- rungs if result.isEmpty) {
+          val cur = rung(r._1, r._2).cache()
+          if (cur.count() >= 20) result = Some(cur) else cur.unpersist()
+        }
+        val top = result.getOrElse {
+          // exhaustive fallback — reachable only when the whole corpus has
+          // <20 pairs at jac ≥ 0.2 (tiny SFs / degenerate data)
+          val a = docs.select(col("lang"), col("blk"),
+            col("doc_id").as("id_a"), col("g").as("g_a"))
+          val b = docs.select(col("lang"), col("blk"),
+            col("doc_id").as("id_b"), col("g").as("g_b"))
+          a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
+            .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
+            .withColumn("jac_bp",
+              Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
+            .select("lang", "id_a", "id_b", "jac_bp")
+        }
+        top.orderBy(col("jac_bp").desc, col("id_a"), col("id_b")).limit(20)
       },
       Some(s"""
         WITH docs0 AS (
