@@ -51,6 +51,13 @@ object Dedup {
   def minhashAggs(h: Column, nHashes: Int): Seq[Column] =
     (0 until nHashes).map(j => min((h * mixA(j) + mixB(j)) % M31).as(s"_mh$j"))
 
+  /** SQL scalar-aggregate form of [[minhashAggs]] (one min() per hash
+    * function, same mix constants) for oracle parity over a GROUP BY —
+    * no list materialization on the SQL side. */
+  def minhashAggSqls(h: String, nHashes: Int): Seq[String] =
+    (0 until nHashes).map(j =>
+      s"min(($h * ${mixA(j)} + ${mixB(j)}) % $M31)")
+
   /** MinHash signature (array of nHashes mins) over the base-hash array
     * column `hs` produced by [[shingleHashes]]. */
   def minhashSig(hs: String, nHashes: Int): Column = {
