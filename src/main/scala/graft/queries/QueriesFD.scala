@@ -54,55 +54,51 @@ object QueriesFD extends QueryPack {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
           .selectExpr("vec_id", "CAST(d AS BIGINT) AS d",
             "CAST(floor(CAST(xf AS DOUBLE) * 1000) AS BIGINT) AS xq")
-        ex0.cache(); ex0.count() // eager: both sides of the moment join
-        val smat = ex0.selectExpr("vec_id", "d AS i", "xq AS xi")
+        // the ONLY at-scale work is the sample scan + this 64×64 moment
+        // matrix; the eigensolve itself runs on the driver over the
+        // collected Gramian — the same split Spark MLlib's
+        // RowMatrix.computePrincipalComponents uses. All driver math is
+        // BigInt (mirrors the oracle's HUGEINT: / truncates toward 0).
+        val smatRows = ex0.selectExpr("vec_id", "d AS i", "xq AS xi")
           .join(ex0.selectExpr("vec_id", "d AS j", "xq AS xj"), Seq("vec_id"))
           .groupBy("i", "j")
           .agg(sum(expr("xi * xj")).cast("long").as("sv"))
-          .localCheckpoint() // 4096 rows; reused by every iteration
-        def iterate(m0: DataFrame): DataFrame = {
-          var v = s.range(0, 64)
-            .selectExpr("id AS dim", "((id * 37) % 100 - 50) * 20000 AS x")
-            .localCheckpoint()
+          .collect() // bounded: exactly 64×64 cells
+        val D = 64
+        val S0 = Array.ofDim[BigInt](D, D)
+        for (i <- 0 until D; j <- 0 until D) S0(i)(j) = BigInt(0)
+        smatRows.foreach(r => S0(r.getAs[Long]("i").toInt)(
+          r.getAs[Long]("j").toInt) = BigInt(r.getAs[Long]("sv")))
+        def iterate(m0: Array[Array[BigInt]]): Array[BigInt] = {
+          var v = Array.tabulate(D)(i => BigInt(((i * 37) % 100 - 50) * 20000))
           for (_ <- 1 to PcaIters) {
-            val w = m0.join(v.selectExpr("dim AS j", "x"), Seq("j"))
-              .groupBy("i")
-              .agg(sum(expr("sv * x")).cast("decimal(38,0)").as("w"))
-            val mx = w.agg(greatest(max(abs(col("w"))),
-              lit(1L).cast("decimal(38,0)")).as("m"))
-            v = w.crossJoin(broadcast(mx))
-              .selectExpr("i AS dim", "CAST((w * 1000000) DIV m AS BIGINT) AS x")
-              .localCheckpoint()
+            val w = Array.tabulate(D)(i =>
+              (0 until D).map(j => m0(i)(j) * v(j)).sum)
+            val m = w.map(_.abs).max.max(BigInt(1))
+            v = w.map(x => x * 1000000 / m)
           }
           v
         }
-        def rayleigh(m0: DataFrame, v: DataFrame): DataFrame = {
-          val w = m0.join(v.selectExpr("dim AS j", "x AS xj"), Seq("j"))
-            .groupBy("i").agg(sum(expr("sv * xj")).cast("decimal(38,0)").as("w"))
-          w.join(v.selectExpr("dim AS i", "x AS xi"), Seq("i"))
-            .agg(sum(expr("w * xi")).cast("decimal(38,0)").as("num"))
-            .crossJoin(broadcast(v.agg(
-              sum(expr("x * x")).cast("decimal(38,0)").as("den"))))
+        def rayleigh(m0: Array[Array[BigInt]], v: Array[BigInt]): (BigInt, BigInt) = {
+          val num = (0 until D).map(i =>
+            v(i) * (0 until D).map(j => m0(i)(j) * v(j)).sum).sum
+          val den = v.map(x => x * x).sum
+          (num, den)
         }
-        val v1 = iterate(smat)
-        val nd1 = rayleigh(smat, v1).localCheckpoint() // num = vᵀSv, den = vᵀv
+        val v1 = iterate(S0)
+        val (num1, den1) = rayleigh(S0, v1)
         // deflate over the common denominator den²:
         // S' = (S·den² − num·v vᵀ) intdiv den²  — elementwise integer
-        val smat2 = smat
-          .join(v1.selectExpr("dim AS i", "x AS xi"), Seq("i"))
-          .join(v1.selectExpr("dim AS j", "x AS xj"), Seq("j"))
-          .crossJoin(broadcast(nd1))
-          .selectExpr("i", "j",
-            """CAST((CAST(sv AS DECIMAL(38,0)) * den * den - num * xi * xj)
-               DIV (den * den) AS BIGINT) AS sv""")
-          .localCheckpoint()
-        val v2 = iterate(smat2)
-        val nd2 = rayleigh(smat2, v2).localCheckpoint()
-        def out(comp: Int, v: DataFrame, nd: DataFrame): DataFrame =
-          v.crossJoin(broadcast(nd))
-            .selectExpr(s"CAST($comp AS BIGINT) AS component", "dim",
-              "x AS loading_micro", "CAST(num DIV den AS BIGINT) AS lam_scaled")
-        out(1, v1, nd1).unionByName(out(2, v2, nd2))
+        val S2 = Array.tabulate(D, D)((i, j) =>
+          (S0(i)(j) * den1 * den1 - num1 * v1(i) * v1(j)) / (den1 * den1))
+        val v2 = iterate(S2)
+        val (num2, den2) = rayleigh(S2, v2)
+        val s2s = s
+        import s2s.implicits._
+        val rows =
+          (0 until D).map(d => (1L, d.toLong, v1(d).toLong, (num1 / den1).toLong)) ++
+          (0 until D).map(d => (2L, d.toLong, v2(d).toLong, (num2 / den2).toLong))
+        rows.toDF("component", "dim", "loading_micro", "lam_scaled")
           .orderBy("component", "dim")
       },
       Some {
