@@ -7,6 +7,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
+    // the driver parses ONE JSON line from a ~2000-char output TAIL;
+    // WindowExec's "No Partition Defined" WARN (4 audited-bounded sites,
+    // SURVEY §5 aggwin census) would squeeze it out — silence that
+    // logger for the bench process only, AFTER Spark's log4j2 context
+    // is initialized so the override is not reconfigured away.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // warm the JVM + parquet footers once so per-query numbers measure the
     // plan, not first-touch classloading.
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())

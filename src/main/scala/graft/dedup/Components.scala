@@ -106,6 +106,38 @@ object Components {
       .toDF("id", "lbl")
   }
 
+  /** Dual-path connected components (the GraphCensus q195/q205 pattern):
+    * derived edge lists (co-occurrence / candidate graphs) are usually
+    * orders of magnitude smaller than the fact tables they come from, so
+    * when the edge census fits one task the whole fixpoint runs as a
+    * single [[unionFindBounded]] pass — replacing O(log diameter)
+    * driver-looped shuffle rounds with exactly one job. Above the
+    * threshold it falls back to [[labelPropagation]] (linear shuffles per
+    * round). Both paths share the (id, lbl=min id) contract and are
+    * spec-asserted equal (ComponentsSpec "both routes yield identical
+    * labels").
+    *
+    * Ids are cast to long on BOTH paths, so the output schema does not
+    * depend on which path ran. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          oneTaskMaxEdges: Long = 2000000L): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).cache()
+    val nEdges = e0.count()
+    if (nEdges <= oneTaskMaxEdges) {
+      // no unpersist here: it would run at plan-BUILD time, before the
+      // returned frame executes (the GraphCensus note); blocks free on
+      // GC / bench clearCache.
+      unionFindBounded(e0, "a", "b")
+    } else {
+      // labelPropagation materializes eagerly round by round (und is
+      // localCheckpointed up front), so the input cache can drop now
+      val out = labelPropagation(e0, "a", "b")
+      e0.unpersist(false)
+      out
+    }
+  }
+
   /** DuckDB oracle mirror: transitive closure via recursive CTE, then
     * min reachable id per node. `edgesSql` must yield (id_a, id_b). */
   def labelPropagationSql(edgesSql: String): String =

@@ -191,14 +191,23 @@ object QueriesBD extends QueryPack {
     QDef("q225_link_jaccard",
       (s, dir) => {
         val e = edges(s, dir).cache()
-        e.count() // eager: three subtrees below
-        val und = e.select(col("a").as("src"), col("b").as("dst"))
-          .union(e.select(col("b").as("src"), col("a").as("dst")))
-        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-        val common = e
-          .join(und.select(col("src").as("a"), col("dst").as("c")), "a")
-          .join(und.select(col("src").as("b"), col("dst").as("cb")), "b")
-          .where(col("c") === col("cb"))
+        e.count() // eager: four subtrees below
+        val deg = e.select(col("a").as("src"))
+          .union(e.select(col("b").as("src")))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+        // common neighbors of edge (a,b) = triangles through that edge.
+        // Enumerate each triangle ONCE over the oriented (a<b) edge set —
+        // wedge x<y<z closed by (x,z) — then credit all three edges; the
+        // prior un-oriented und×und two-hop join pushed 4× the wedge
+        // volume through the shuffle (r7 verdict #2, the q185 census
+        // orientation).
+        val tri = e.select(col("a").as("x"), col("b").as("y"))
+          .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+          .join(e.select(col("a").as("x"), col("b").as("z")),
+            Seq("x", "z"), "left_semi")
+        val common = tri.select(col("x").as("a"), col("y").as("b"))
+          .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+          .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
           .groupBy("a", "b").agg(count(lit(1)).as("common"))
         e.join(common, Seq("a", "b"), "left")
           .na.fill(0L, Seq("common"))

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * deterministic sampling designs:
   *
   *  - q300: connected-component SIZE HISTOGRAM of the part co-purchase
-  *    graph (pair support ≥ 2) — Components.labelPropagation (pointer-
-  *    jumping) on the Spark side, recursive-closure oracle; the shape
-  *    report behind q35/q216's clustering (how fragmented is the
-  *    graph, is there a giant component).
+  *    graph (pair support ≥ 2) — Components.connectedComponents (one-
+  *    task union-find while the support-filtered edge census is bounded,
+  *    pointer-jumping label propagation above the threshold) on the
+  *    Spark side, recursive-closure oracle; the shape report behind
+  *    q35/q216's clustering (how fragmented is the graph, is there a
+  *    giant component).
   *  - q301: systematic PPS sampling — k=20 probability-proportional-
   *    to-size draws over the part revenue curve: a part is drawn once
   *    per multiple of tot/k its cumulative interval covers, decided by
@@ -45,7 +47,7 @@ object QueriesBX extends QueryPack {
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
           .where(col("c") >= 2)
           .select("id_a", "id_b")
-        Components.labelPropagation(edges, "id_a", "id_b")
+        Components.connectedComponents(edges, "id_a", "id_b")
           .groupBy("lbl").agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("component_size"))
           .agg(count(lit(1)).as("n_components"), min("lbl").as("min_label"))

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *  - q463: rank-1 ALS half-sweep — ratings r(customer, brand) = order
   *    counts; brand factors hash-initialized (milli), user factors
   *    solved in closed form u = Σrv / Σv² (exact BIGINT sums, one
-  *    integer division), then the brand-side update v' = Σru / Σu²;
-  *    fit error before/after in exact milli². Rank-1 ALS is power
-  *    iteration on the rating matrix — each half-sweep is one groupBy
-  *    per side, the distributed-CF shape (full-rank ALS adds a k×k
-  *    solve per key, same shuffles).
+  *    integer division), then the brand-side update v' = Σru / Σu² and
+  *    exact fit error Σ(r·1e6 − u·v)² DIV 1e6 before/after, both read
+  *    off ONE per-brand sufficient-statistics pass (Σr², Σru, Σu²) and
+  *    finished driver-side in BigInt. Rank-1 ALS is power iteration on
+  *    the rating matrix — each half-sweep is one groupBy per side, the
+  *    distributed-CF shape (full-rank ALS adds a k×k solve per key,
+  *    same shuffles).
   *  - q464: item-item collaborative filtering — brand-brand cosine
   *    n_ab/√(n_a·n_b) over distinct customer incidence (bounded brand
   *    domain ⇒ pair table is tiny even at 100 TB; the heavy lifting is
@@ -42,6 +44,13 @@ object QueriesDN extends QueryPack {
   def defs: Seq[QDef] = Seq(
 
     // --------------------------------------------------------------- q463
+    // Fit error decomposes per brand: with e = r·1e6 − u·v_b exact,
+    // Σe² = 1e12·Σr² − 2e6·v_b·Σru + v_b²·Σu², so ONE groupBy(brand)
+    // pass over ratings⋈users yields sufficient statistics
+    // (Σr², Σru, Σu²) for v1, sse_before AND sse_after — the v-update
+    // and both error sums finish driver-side in BigInt over the ≤|brand|
+    // collected rows (r7 verdict #2/#4: was an eager count + 5 chained
+    // agg/join jobs; now 2 jobs total, same shape you'd run at 100 TB).
     QDef("q463_als_rank1",
       (s, dir) => {
         val ratings = t(s, dir, "lineitem")
@@ -53,35 +62,52 @@ object QueriesDN extends QueryPack {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
           .agg(count(lit(1)).cast("long").as("r"))
-        ratings.cache(); ratings.count()
-        val v0 = ratings.select("brand").distinct()
+          .cache()
+        // job 1 (also materializes the ratings cache): bounded brand
+        // domain with its hash-initialized factor
+        val v0Rows = ratings.select("brand").distinct()
           .withColumn("v", lit(1000L) +
             pmod(PortableHash.md5Long(col("brand"), salt = "als~"), lit(500L)))
-        val users = ratings.join(broadcast(v0), "brand")
+          .collect()
+        val v0 = v0Rows.map(r => r.getAs[String]("brand") ->
+          BigInt(r.getAs[Long]("v"))).toMap
+        val sc = s
+        import sc.implicits._
+        val v0df = broadcast(v0Rows.map(r =>
+          (r.getAs[String]("brand"), r.getAs[Long]("v"))).toSeq
+          .toDF("brand", "v"))
+        val users = ratings.join(v0df, "brand")
           .groupBy("cust").agg(
             sum(col("r") * col("v")).cast("bigint").as("num"),
             sum(col("v") * col("v")).cast("bigint").as("den"))
           .selectExpr("cust", "num * 1000000 DIV den AS u")
-        val v1 = ratings.join(users, "cust")
+        // job 2: the single sufficient-statistics pass (decimal sums —
+        // Σu² crosses int64 at 100×)
+        val pb = ratings.join(users, "cust")
           .groupBy("brand").agg(
             count(lit(1)).cast("long").as("n_raters"),
-            sum(col("r") * col("u")).cast("bigint").as("num"),
-            sum(col("u") * col("u")).cast("bigint").as("den"))
-          .selectExpr("brand", "n_raters",
-            "CASE WHEN den > 0 THEN num * 1000000 DIV den ELSE 0 END AS v1")
-        val sse0 = ratings.join(broadcast(v0), "brand").join(users, "cust")
-          .selectExpr("(r * 1000000 - u * v) DIV 1000 AS e")
-          .agg(sum(col("e") * col("e")).cast("bigint").as("sse"))
-        val sse1 = ratings.join(v1.select(col("brand"), col("v1")), "brand")
-          .join(users, "cust")
-          .selectExpr("(r * 1000000 - u * v1) DIV 1000 AS e")
-          .agg(sum(col("e") * col("e")).cast("bigint").as("sse"))
-        v1.join(broadcast(v0), "brand")
-          .crossJoin(broadcast(sse0.selectExpr("sse AS sse_before")))
-          .crossJoin(broadcast(sse1.selectExpr("sse AS sse_after")))
-          .selectExpr("brand", "n_raters", "v AS v0_milli", "v1 AS v1_milli",
+            sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"),
+            sum(expr("CAST(r AS DECIMAL(38,0)) * u")).as("sru"),
+            sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"))
+          .collect() // bounded: one row per brand
+        def big(r: org.apache.spark.sql.Row, c: String): BigInt =
+          BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)
+        val M6 = BigInt(1000000); val M12 = M6 * M6
+        var sse0 = BigInt(0); var sse1 = BigInt(0)
+        val out = pb.map { r =>
+          val brand = r.getAs[String]("brand")
+          val (srr, sru, suu) = (big(r, "srr"), big(r, "sru"), big(r, "suu"))
+          val vb = v0(brand)
+          val v1b = if (suu > 0) sru * M6 / suu else BigInt(0)
+          sse0 += M12 * srr - 2 * M6 * vb * sru + vb * vb * suu
+          sse1 += M12 * srr - 2 * M6 * v1b * sru + v1b * v1b * suu
+          (brand, r.getAs[Long]("n_raters"), vb.toLong, v1b.toLong)
+        }
+        out.map { case (brand, n, v, v1) =>
+          (brand, n, v, v1, (sse0 / M6).toLong, (sse1 / M6).toLong)
+        }.toSeq.sortBy(_._1)
+          .toDF("brand", "n_raters", "v0_milli", "v1_milli",
             "sse_before", "sse_after")
-          .orderBy("brand")
       },
       Some(s"""
         WITH ratings AS MATERIALIZED (
@@ -97,24 +123,30 @@ object QueriesDN extends QueryPack {
         users AS MATERIALIZED (
           SELECT cust, sum(r * v) * 1000000 // sum(v * v) AS u
           FROM ratings JOIN v0 USING (brand) GROUP BY 1),
-        v1 AS MATERIALIZED (
-          SELECT brand, count(*) AS n_raters,
-                 CASE WHEN sum(u * u) > 0
-                   THEN sum(r * u) * 1000000 // sum(u * u) ELSE 0 END AS v1
+        pb AS MATERIALIZED (
+          SELECT brand, CAST(count(*) AS BIGINT) AS n_raters,
+                 CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr,
+                 CAST(sum(CAST(r AS HUGEINT) * u) AS HUGEINT) AS sru,
+                 CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu
           FROM ratings JOIN users USING (cust) GROUP BY 1),
-        sse0 AS (
-          SELECT sum(e * e) AS sse FROM (
-            SELECT (r * 1000000 - u * v) // 1000 AS e
-            FROM ratings JOIN v0 USING (brand) JOIN users USING (cust))),
-        sse1 AS (
-          SELECT sum(e * e) AS sse FROM (
-            SELECT (r * 1000000 - u * v1) // 1000 AS e
-            FROM ratings JOIN v1 USING (brand) JOIN users USING (cust)))
-        SELECT v1.brand AS brand, CAST(n_raters AS BIGINT) AS n_raters,
-               CAST(v AS BIGINT) AS v0_milli, CAST(v1 AS BIGINT) AS v1_milli,
-               (SELECT CAST(sse AS BIGINT) FROM sse0) AS sse_before,
-               (SELECT CAST(sse AS BIGINT) FROM sse1) AS sse_after
-        FROM v1 JOIN v0 ON v1.brand = v0.brand
+        pbv AS MATERIALIZED (
+          SELECT pb.*, CAST(v0.v AS HUGEINT) AS v,
+                 CASE WHEN suu > 0
+                   THEN sru * 1000000 // suu ELSE CAST(0 AS HUGEINT) END AS v1
+          FROM pb JOIN v0 USING (brand)),
+        sse AS (
+          SELECT sum(CAST(1000000 AS HUGEINT) * 1000000 * srr
+                     - 2 * 1000000 * v * sru + v * v * suu)
+                   // 1000000 AS sse_before,
+                 sum(CAST(1000000 AS HUGEINT) * 1000000 * srr
+                     - 2 * 1000000 * v1 * sru + v1 * v1 * suu)
+                   // 1000000 AS sse_after
+          FROM pbv)
+        SELECT brand, n_raters, CAST(v AS BIGINT) AS v0_milli,
+               CAST(v1 AS BIGINT) AS v1_milli,
+               CAST(sse.sse_before AS BIGINT) AS sse_before,
+               CAST(sse.sse_after AS BIGINT) AS sse_after
+        FROM pbv, sse
         ORDER BY brand""")),
 
     // --------------------------------------------------------------- q464
@@ -129,8 +161,18 @@ object QueriesDN extends QueryPack {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
           .distinct()
-        inc.cache(); inc.count()
-        val deg = inc.groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
+          .cache()
+        // fuse cache materialization with the first real consumer (the
+        // Components.scala pattern, r7 verdict #3): the per-brand degree
+        // census is bounded (≤|brand| rows), so collect it and broadcast
+        // the lookup — one job instead of eager count + lazy deg joins
+        val sc = s
+        import sc.implicits._
+        val deg = broadcast(
+          inc.groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
+            .collect()
+            .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n"))).toSeq
+            .toDF("brand", "n"))
         val pairs = inc.as("x").join(inc.as("y"),
             col("x.cust") === col("y.cust") &&
               col("x.brand") < col("y.brand"))

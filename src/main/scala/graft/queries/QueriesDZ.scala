@@ -63,42 +63,68 @@ object QueriesDZ extends QueryPack {
             """CASE WHEN value > pv THEN event_type
                     WHEN pv > value THEN pt
                     ELSE least(event_type, pt) END AS winner""")
+        // the at-scale work ends at `m` (bounded by event-type² rows);
+        // both MM iterations run driver-side in BigInt over the collected
+        // match table (the q625 eigensolve pattern, r7 verdict #4) — one
+        // Spark job instead of an eager count + two broadcast-join aggs.
+        // Option math mirrors SQL NULL semantics exactly: DIV-by-zero →
+        // NULL, SUM skips NULLs (NULL only when every term is NULL).
         val m = pairs.groupBy("a", "b").agg(
-          count(lit(1)).as("n"),
+          count(lit(1)).cast("long").as("n"),
           sum(when(col("winner") === col("a"), 1L).otherwise(0L))
             .cast("long").as("wa"))
+          .collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+            BigInt(r.getAs[Long]("n")), BigInt(r.getAs[Long]("wa"))))
+        val M6 = BigInt(1000000)
+        def divOpt(num: BigInt, den: BigInt): Option[BigInt] =
+          if (den == 0) None else Some(num / den)
+        def sumOpt(ts: Seq[Option[BigInt]]): Option[BigInt] = {
+          val d = ts.flatten
+          if (d.isEmpty) None else Some(d.sum)
+        }
         // directed view: per type i, each opponent j with match count and
         // i's wins — the Σ_j n_ij/(p_i+p_j) MM denominator reads off it.
-        val dirv = m.selectExpr("a AS i", "b AS j", "n", "wa AS w")
-          .unionAll(m.selectExpr("b AS i", "a AS j", "n", "n - wa AS w"))
-          .cache()
-        dirv.count() // eager: three aggregation subtrees share it
-        // iteration 1 from the uniform prior p=1000 milli: the per-pair
-        // term n*1e6 DIV (1000+1000) is constant, so d1 folds into one agg.
-        val tot = dirv.groupBy("i").agg(
-          sum("n").cast("long").as("n_matches"),
-          sum("w").cast("long").as("wins"),
-          sum(expr("n * 1000000 DIV 2000")).cast("long").as("d1"))
-        val p1 = tot.selectExpr("i", "n_matches", "wins",
-          "wins * 1000000 DIV d1 AS p1")
-        val p1n = ScaleRank.withTotals(p1, Seq(sum("p1").cast("long").as("s1")))
-          .selectExpr("i", "n_matches", "wins", "p1 * 1000000 DIV s1 AS p")
+        val dirv = m.map { case (a, b, n, wa) => (a, b, n, wa) } ++
+          m.map { case (a, b, n, wa) => (b, a, n, n - wa) }
+        val types = dirv.map(_._1).distinct.sorted
+        val tot = dirv.groupBy(_._1).map { case (i, rs) =>
+          // iteration 1 from the uniform prior p=1000 milli: the per-pair
+          // term n*1e6 DIV 2000 folds into the same pass
+          i -> (rs.map(_._3).sum, rs.map(_._4).sum,
+            rs.map(r => r._3 * M6 / 2000).sum)
+        }
+        val p1 = tot.map { case (i, (_, w, d1)) => i -> divOpt(w * M6, d1) }
+        val s1 = sumOpt(p1.values.toSeq)
+        val p1n = p1.map { case (i, v) =>
+          i -> (for (pv <- v; s <- s1; r <- divOpt(pv * M6, s)) yield r)
+        }
         // iteration 2 with the real denominator Σ_j n_ij*1e6 DIV (p_i+p_j)
-        val d2 = dirv
-          .join(broadcast(p1n.selectExpr("i", "p AS pi")), Seq("i"))
-          .join(broadcast(p1n.selectExpr("i AS j", "p AS pj")), Seq("j"))
-          .withColumn("term", expr("n * 1000000 DIV (pi + pj)"))
-          .groupBy("i").agg(sum("term").cast("long").as("d2"))
-        val p2 = p1n.join(d2, Seq("i"))
-          .selectExpr("i", "n_matches", "wins", "wins * 1000000 DIV d2 AS p2")
-        val p2n = ScaleRank.withTotals(p2, Seq(sum("p2").cast("long").as("s2")))
-          .selectExpr("i AS event_type", "n_matches", "wins",
-            "p2 * 1000000 DIV s2 AS strength_ppm")
-        // rank window over the bounded type domain (≤ |event_type|)
-        p2n.withColumn("rank",
-            row_number().over(Window.orderBy(col("strength_ppm").desc,
-              col("event_type"))).cast("long"))
-          .orderBy("rank")
+        val d2 = dirv.groupBy(_._1).map { case (i, rs) =>
+          i -> sumOpt(rs.map { case (_, j, n, _) =>
+            for (pi <- p1n(i); pj <- p1n(j); t <- divOpt(n * M6, pi + pj))
+              yield t
+          })
+        }
+        val p2 = tot.map { case (i, (_, w, _)) =>
+          i -> d2(i).flatMap(d => divOpt(w * M6, d))
+        }
+        val s2 = sumOpt(p2.values.toSeq)
+        val strength = p2.map { case (i, v) =>
+          i -> (for (pv <- v; s <- s2; r <- divOpt(pv * M6, s)) yield r)
+        }
+        // rank over the bounded type domain: strength DESC (nulls last,
+        // the Spark/DuckDB default), event_type ASC tiebreak
+        val sc = s
+        import sc.implicits._
+        types.sortBy(i => (strength(i).isEmpty,
+            strength(i).map(v => -v.toLong).getOrElse(0L), i))
+          .zipWithIndex
+          .map { case (i, k) =>
+            val (nm, w, _) = tot(i)
+            (i, nm.toLong, w.toLong, strength(i).map(_.toLong), k + 1L)
+          }.toSeq
+          .toDF("event_type", "n_matches", "wins", "strength_ppm", "rank")
       },
       Some("""
         WITH lagd AS (

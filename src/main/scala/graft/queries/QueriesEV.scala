@@ -180,31 +180,49 @@ object QueriesEV extends QueryPack {
           .groupBy(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
           .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
             .cast("long").as("q"))
+        // the at-scale work ends at `wins` (bounded by brand² rows); the
+        // 2 MM iterations over the ≤625-row game table run driver-side in
+        // BigInt (the q625 eigensolve pattern, r7 verdict #4) — one Spark
+        // job instead of 2 iterations × 2 joins + 1 agg each. The self-
+        // join's two ob subtrees are identical, so the shuffle is planned
+        // once and reused (ReusedExchange) — no cache/eager count needed.
         val wins = ob.selectExpr("ok", "brand AS a", "q AS qa")
           .join(ob.selectExpr("ok", "brand AS b", "q AS qb"), Seq("ok"))
           .where(expr("a <> b AND qa > qb"))
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-        wins.cache(); wins.count()
-        val games = wins.selectExpr("a", "b", "w")
-          .unionByName(wins.selectExpr("b AS a", "a AS b", "w"))
-          .groupBy("a", "b").agg(sum("w").cast("long").as("g"))
-        val totW = wins.groupBy("a").agg(sum("w").cast("long").as("wa"))
-        var p = games.select(col("a").as("br")).distinct()
-          .withColumn("p", lit(40000L)) // 1e6 / 25
+          .groupBy("a", "b").agg(count(lit(1)).cast("long").as("w"))
+          .collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+            BigInt(r.getAs[Long]("w"))))
+        val M6 = BigInt(1000000)
+        val games = (wins.map { case (a, b, w) => ((a, b), w) } ++
+          wins.map { case (a, b, w) => ((b, a), w) })
+          .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        val totW = wins.groupBy(_._1)
+          .map { case (a, vs) => (a, vs.map(_._3).sum) }
+        // mirror the distributed/SQL semantics exactly: DIV-by-zero is
+        // NULL (term skipped by SUM); a brand survives an iteration only
+        // if its denominator sum is defined and > 0 and it has wins
+        var p: Map[String, BigInt] =
+          games.keysIterator.map(_._1).toSet.iterator
+            .map((br: String) => br -> BigInt(40000)).toMap // 1e6 / 25
         for (_ <- 1 to 2) {
-          p = games
-            .join(p.selectExpr("br AS a", "p AS pa"), "a")
-            .join(p.selectExpr("br AS b", "p AS pb"), "b")
-            .selectExpr("a", "g * 1000000 DIV (pa + pb) AS d")
-            .groupBy("a").agg(sum("d").cast("long").as("den"))
-            .join(totW, "a")
-            .where(expr("den > 0"))
-            .selectExpr("a AS br", "wa * 1000000 DIV den AS p")
+          val dens = games.toSeq.flatMap { case ((a, b), g) =>
+            for (pa <- p.get(a); pb <- p.get(b);
+                 t <- if (pa + pb == 0) None else Some(g * M6 / (pa + pb)))
+              yield (a, t)
+          }.groupBy(_._1).map { case (a, ts) => (a, ts.map(_._2).sum) }
+          p = dens.iterator.flatMap { case (a, den) =>
+            for (wa <- totW.get(a); if den > 0)
+              yield a -> wa * M6 / den
+          }.toMap
         }
-        p.join(totW, col("br") === col("a"))
-          .selectExpr("br AS brand", "wa AS wins", "p AS strength_ppm")
-          .orderBy(col("strength_ppm").desc, col("brand"))
-          .limit(10)
+        val sc = s
+        import sc.implicits._
+        p.toSeq.flatMap { case (br, pv) =>
+          totW.get(br).map(wa => (br, wa.toLong, pv.toLong))
+        }.sortBy { case (br, _, pv) => (-pv, br) }
+          .take(10)
+          .toDF("brand", "wins", "strength_ppm")
       },
       Some("""
         WITH ob AS (

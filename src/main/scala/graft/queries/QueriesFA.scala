@@ -149,8 +149,8 @@ object QueriesFA extends QueryPack {
           .selectExpr("user_id", s"(first_ms - ${t0}L) DIV 3600000 AS d")
         val byWk = first.groupBy("d")
           .agg(count(lit(1)).cast("long").as("new_listings"))
-        // bounded-domain window: the day census has one row per calendar
-        // day, never per event
+        // bounded-domain window: the hour census has one row per
+        // first-conversion hour bucket (DIV 3600000), never per event
         val w = Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byWk

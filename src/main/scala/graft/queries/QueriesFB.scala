@@ -294,10 +294,13 @@ object QueriesFB extends QueryPack {
             .withColumn("rn", row_number().over(wTop))
             .filter(col("rn") <= K)
             .select(col("q_id"), col("vec_id"))
+          // recall denominator is the FIXED query set (NQ*K), not just
+          // queries with >=1 hit — a query that misses entirely must
+          // still count against recall
           found.join(gt, Seq("q_id", "vec_id"))
-            .groupBy("q_id").agg(count(lit(1)).as("hits"))
-            .agg(count(lit(1)).cast("long").as("n_queries"),
-              sum("hits").cast("long").as("n_hits"))
+            .agg(count(lit(1)).cast("long").as("n_hits"))
+            .crossJoin(broadcast(
+              queries.agg(count(lit(1)).cast("long").as("n_queries"))))
             .selectExpr(s"CAST($np AS BIGINT) AS nprobe", "n_queries",
               "n_hits", s"n_hits * 10000 DIV (n_queries * $K) AS recall_bp")
         }.reduce(_ unionByName _)
@@ -307,10 +310,10 @@ object QueriesFB extends QueryPack {
         val K = 5; val NQ = 8; val SeedMod = 100
         def one(np: Int) = s"""
           SELECT CAST($np AS BIGINT) AS nprobe,
-                 CAST(count(DISTINCT f.q_id) AS BIGINT) AS n_queries,
+                 (SELECT CAST(count(*) AS BIGINT) FROM queries) AS n_queries,
                  CAST(count(*) AS BIGINT) AS n_hits,
                  CAST(count(*) AS BIGINT) * 10000
-                   // (count(DISTINCT f.q_id) * $K) AS recall_bp
+                   // ((SELECT count(*) FROM queries) * $K) AS recall_bp
           FROM (
             SELECT q_id, vec_id FROM (
               SELECT p.q_id, a.vec_id,

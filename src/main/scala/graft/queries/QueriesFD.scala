@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *  - q625: top-2 principal directions of the embedding second-moment
   *    matrix via INTEGER-EXACT power iteration with deflation: bounded
   *    deterministic sample (lowest-2048 md5 order — TakeOrdered, fixed
-  *    at any corpus size), 64×64 moment matrix, 5 iterations with
+  *    at any corpus size), 64×64 moment matrix, PcaIters (8) iterations with
   *    integer rescaling (v ← (S·v)·10⁶ intdiv max|S·v|), Rayleigh
   *    quotient and rank-1 deflation over a common denominator — every
   *    arithmetic step is DECIMAL(38,0)/HUGEINT, zero FP (q144's
@@ -82,7 +82,9 @@ object QueriesFD extends QueryPack {
         def rayleigh(m0: Array[Array[BigInt]], v: Array[BigInt]): (BigInt, BigInt) = {
           val num = (0 until D).map(i =>
             v(i) * (0 until D).map(j => m0(i)(j) * v(j)).sum).sum
-          val den = v.map(x => x * x).sum
+          // empty/degenerate sample collapses v to the zero vector; the
+          // oracle guards the same spot with greatest(max(abs(w)), 1)
+          val den = v.map(x => x * x).sum.max(BigInt(1))
           (num, den)
         }
         val v1 = iterate(S0)
@@ -211,7 +213,7 @@ object QueriesFD extends QueryPack {
           df.toDF("ndv").selectExpr(s"'$name' AS key_name",
             "CAST(ndv AS BIGINT) AS ndv")
         }.reduce(_ unionByName _)
-        val fpps = Seq((100L, 95851L, 7L), (10L, 143777L, 10L))
+        val fpps = Seq((100L, 95851L, 7L), (10L, 143776L, 10L))
         fpps.map { case (fppBp, c4, k) =>
           base.selectExpr("key_name", "ndv",
             s"CAST($fppBp AS BIGINT) AS fpp_bp",
@@ -230,7 +232,7 @@ object QueriesFD extends QueryPack {
         val base = keys.map { case (n, q) =>
           s"SELECT '$n' AS key_name, CAST(($q) AS BIGINT) AS ndv"
         }.mkString(" UNION ALL ")
-        val fpps = Seq((100L, 95851L, 7L), (10L, 143777L, 10L))
+        val fpps = Seq((100L, 95851L, 7L), (10L, 143776L, 10L))
         val rows = fpps.map { case (fppBp, c4, k) =>
           s"""SELECT key_name, ndv, CAST($fppBp AS BIGINT) AS fpp_bp,
                 (ndv * $c4 + 9999) // 10000 AS m_bits,

@@ -39,4 +39,37 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(uf == lp)
   }
+
+  test("connectedComponents: both routes yield identical labels") {
+    // same graph down both paths: oneTaskMaxEdges high => union-find,
+    // oneTaskMaxEdges=0 => label propagation; outputs must be equal
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val oneTask = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val looped = Components.connectedComponents(edges, "a", "b",
+        oneTaskMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(oneTask == looped)
+    assert(oneTask == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents casts ids to long on both routes") {
+    val edges = Seq((1, 2), (2, 3), (7, 8)).toDF("a", "b") // ints in
+    val small = Components.connectedComponents(edges, "a", "b")
+    val big = Components.connectedComponents(edges, "a", "b",
+      oneTaskMaxEdges = 0L)
+    // contract = column names + types (nullability legitimately differs:
+    // the one-task route is a Dataset tuple, the looped route an agg)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(small.schema("id").dataType.typeName == "long")
+    assert(shape(small) == shape(big))
+  }
 }

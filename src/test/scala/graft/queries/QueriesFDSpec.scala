@@ -48,7 +48,7 @@ class QueriesFDSpec extends SparkSpec {
     assert(out.length == 6)
     out.foreach { r =>
       val (ndv, m) = (r.getAs[Long]("ndv"), r.getAs[Long]("m_bits"))
-      val c = if (r.getAs[Long]("fpp_bp") == 100L) 95851L else 143777L
+      val c = if (r.getAs[Long]("fpp_bp") == 100L) 95851L else 143776L
       assert(m == (ndv * c + 9999) / 10000)
       assert(r.getAs[Long]("n_bytes") == (m + 7) / 8)
     }

@@ -15,12 +15,11 @@ import sys
 path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
 mult = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
 
-# Documented exemptions — queries whose cost is round-count-bound, not
-# data-volume-bound, audited individually (plan shape + 10x probe):
-#   q300: edge build (one linear pass) + O(log diameter) label-
-#         propagation rounds on the co-purchase graph; each round is a
-#         full shuffle job, ~10 jobs of fixed overhead at sf0.1.
-EXEMPT = {"q300_cc_size_histogram"}
+# Documented exemptions — none. q300's round-7 exemption closed in
+# round 8: the support-filtered edge census is bounded, so
+# Components.connectedComponents routes it through one-task union-find
+# (7.7 s -> ~0.5 s at sf0.1).
+EXEMPT = set()
 
 with open(path) as f:
     data = json.loads(f.read())
@@ -31,6 +30,9 @@ failures = sorted(k for k, v in qs.items() if v < 0)
 for k in failures:
     print(f"FAILED  {k}: bench recorded a crash (value {qs[k]})")
 timed = {k: v for k, v in qs.items() if v >= 0}
+if not timed:
+    print("FAILED: every query crashed — nothing to compute a median over")
+    sys.exit(1)
 med = statistics.median(timed.values())
 # floor the threshold: honest multi-stage queries (iterative graph
 # rounds, IRLS) carry fixed per-job overhead that dominates at small SF.

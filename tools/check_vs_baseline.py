@@ -19,16 +19,18 @@ import json
 import statistics
 import sys
 
-# Shared with check_bench_outliers.py: queries whose cost is round-count-
-# bound, not data-volume-bound (fixed per-job overhead x O(log diameter)
-# shuffle rounds at local scale; flat in the 10x/100x probes, so the
-# local ratio measures harness overhead, not the plan).
-EXEMPT = {"q300_cc_size_histogram"}
+# Shared with check_bench_outliers.py: no exemptions. q300's round-7
+# exemption closed in round 8 (one-task union-find under the bounded
+# edge census; 0.3x of its DuckDB oracle at sf0.1).
+EXEMPT = set()
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
 base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_local.json"
 ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-ABS_FLOOR_S = 5.0
+# 2.0s: anything above 2s at sf0.1 is doing real multi-stage work, not
+# fixed per-query overhead — a 5.0s floor structurally hid every real
+# offender (round-7 verdict item #2).
+ABS_FLOOR_S = 2.0
 
 bench = json.load(open(bench_path))
 base = json.load(open(base_path))
