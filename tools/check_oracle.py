@@ -7,8 +7,14 @@ Reads each <out>/<name>/ parquet (Spark result) and runs the matching SQL
 from <out>/oracle_sql.json in DuckDB over the sf_dir tables; compares
 rows/schema/values after sorting columns by name (like the driver).
 """
-import sys, os, json, math
+import sys, os, json, math, threading
 import duckdb
+
+# Optional per-query watchdog (seconds) for big-SF sweeps: DuckDB gets
+# interrupted after the budget and the query is recorded as TIMEOUT
+# (exit stays 0 for timeouts — they are a feasibility report, not a
+# parity failure; the caller decides what a timeout means at that SF).
+TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -39,7 +45,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_timeout = 0
     only = set(sys.argv[3:])
     for name in sorted(oracle):
         if only and name not in only:
@@ -49,6 +55,9 @@ def main():
             print(f"FAIL {name}: no spark result dir")
             n_bad += 1
             continue
+        watchdog = threading.Timer(TIMEOUT_S, con.interrupt) if TIMEOUT_S else None
+        if watchdog:
+            watchdog.start()
         try:
             sres = con.execute(
                 f"SELECT * FROM read_parquet('{spath}/*.parquet')")
@@ -57,10 +66,18 @@ def main():
             ores = con.execute(oracle[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S:.0f}s "
+                  f"(spark rows dumped ok; parity not assessed)", flush=True)
+            n_timeout += 1
+            continue
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
             n_bad += 1
             continue
+        finally:
+            if watchdog:
+                watchdog.cancel()
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_bad += 1
@@ -75,9 +92,10 @@ def main():
             print(f"FAIL {name}: value mismatch, e.g. {diff}")
             n_bad += 1
             continue
-        print(f"ok   {name} ({len(a)} rows)")
+        print(f"ok   {name} ({len(a)} rows)", flush=True)
         n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail")
+    print(f"== {n_ok} ok, {n_bad} fail" +
+          (f", {n_timeout} oracle-timeout" if n_timeout else ""))
     sys.exit(1 if n_bad else 0)
 
 
