@@ -228,7 +228,10 @@ object QueriesBW extends QueryPack {
           .where(col("gap") === col("mx"))
           .orderBy("k").limit(1)
           .selectExpr("CAST(k AS BIGINT) AS knee_k", "CAST(n AS BIGINT) AS n_parts",
-            "cum * 10000 DIV tot AS share_at_knee_bp",
+            // cum*10000 crosses int64 once tot > ~9.2e14 (hit at the sf1
+            // replica mirror's knee); DECIMAL(38,0) DIV truncates like
+            // DuckDB's HUGEINT // — the q625 common-denominator pattern
+            "CAST(CAST(cum AS DECIMAL(38,0)) * 10000 DIV tot AS BIGINT) AS share_at_knee_bp",
             """CAST(floor(CAST(gap AS DOUBLE) / CAST(tot AS DOUBLE) * 1000)
                AS BIGINT) AS gap_rank_milli""")
       },
