@@ -175,7 +175,7 @@ object QueriesEG extends QueryPack {
         out.filter(_._4 > 0)
           .map { case (source, tot, alpha, h0, h1) =>
             (source, tot, alpha, h0, h1, (h0 - h1) * 10000 / h0)
-          }.sortBy(_._1)
+          }.sortBy(r => Option(r._1)) // null-safe: injected NULL source rows sort first (row order is cosmetic — the compare canonicalizes)
           .toDF("source", "n_chars", "alpha_size",
             "h0_micro", "h1_micro", "compress_bp")
       },

@@ -302,7 +302,8 @@ object QueriesFB extends QueryPack {
             .crossJoin(broadcast(
               queries.agg(count(lit(1)).cast("long").as("n_queries"))))
             .selectExpr(s"CAST($np AS BIGINT) AS nprobe", "n_queries",
-              "n_hits", s"n_hits * 10000 DIV (n_queries * $K) AS recall_bp")
+              // greatest(...,1): empty corpus → 0 queries; recall 0, not ÷0
+              "n_hits", s"n_hits * 10000 DIV greatest(n_queries * $K, 1) AS recall_bp")
         }.reduce(_ unionByName _)
         sweep.orderBy("nprobe")
       },
@@ -313,7 +314,7 @@ object QueriesFB extends QueryPack {
                  (SELECT CAST(count(*) AS BIGINT) FROM queries) AS n_queries,
                  CAST(count(*) AS BIGINT) AS n_hits,
                  CAST(count(*) AS BIGINT) * 10000
-                   // ((SELECT count(*) FROM queries) * $K) AS recall_bp
+                   // greatest((SELECT count(*) FROM queries) * $K, 1) AS recall_bp
           FROM (
             SELECT q_id, vec_id FROM (
               SELECT p.q_id, a.vec_id,

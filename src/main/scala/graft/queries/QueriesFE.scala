@@ -63,17 +63,24 @@ object QueriesFE extends QueryPack {
     // pairing states occur at every SF.
     QDef("q629_pair_integrity",
       (s, dir) => {
+        // presence markers, NOT source-nullness: a row whose source is
+        // NULL is still a present media/caption row (the oracle tests
+        // m.doc_id IS NOT NULL; deriving presence from source dropped
+        // null-source rows from every count and zeroed the share
+        // denominator — NullInputSpec regression, round 8)
         val media = MediaPipeline
           .extractFeatures(mediaRows(s, dir, "doc_id % 7 != 0")).toDF()
           .select(col("doc_id"), col("source").as("m_source"),
-            col("byte_len").cast("long").as("byte_len"))
+            col("byte_len").cast("long").as("byte_len"),
+            lit(true).as("m_present"))
         val caps = t(s, dir, "documents")
           .where(col("text").isNotNull).where(expr("doc_id % 5 != 3"))
-          .select(col("doc_id"), col("source").as("c_source"))
+          .select(col("doc_id"), col("source").as("c_source"),
+            lit(true).as("c_present"))
         media.join(caps, Seq("doc_id"), "full_outer")
           .select(coalesce(col("m_source"), col("c_source")).as("source"),
-            col("m_source").isNotNull.as("has_media"),
-            col("c_source").isNotNull.as("has_caption"),
+            coalesce(col("m_present"), lit(false)).as("has_media"),
+            coalesce(col("c_present"), lit(false)).as("has_caption"),
             coalesce(col("byte_len"), lit(0L)).as("byte_len"))
           .groupBy("source")
           .agg(
