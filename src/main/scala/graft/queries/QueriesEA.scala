@@ -258,13 +258,16 @@ object QueriesEA extends QueryPack {
           sum(expr("u*y")).cast("long").as("suy"),
           sum(expr("v*y")).cast("long").as("svy"),
           sum(expr("y*y")).cast("long").as("syy"))
+        // Cramer products in DECIMAL(38,0): n·Σu² reaches ~1.4e21 at sf1
+        // (daily 10-dollar units ~2.3e7), past int64 — exact wide product
+        // first, ONE cast to double after (oracle mirrors via HUGEINT)
         sums.selectExpr("n",
-            "CAST(n*suu - su*su AS DOUBLE) AS cuu",
-            "CAST(n*svv - sv*sv AS DOUBLE) AS cvv",
-            "CAST(n*suv - su*sv AS DOUBLE) AS cuv",
-            "CAST(n*suy - su*sy AS DOUBLE) AS cuy",
-            "CAST(n*svy - sv*sy AS DOUBLE) AS cvy",
-            "CAST(n*syy - sy*sy AS DOUBLE) AS cyy")
+            "CAST(CAST(n AS DECIMAL(38,0))*suu - CAST(su AS DECIMAL(38,0))*su AS DOUBLE) AS cuu",
+            "CAST(CAST(n AS DECIMAL(38,0))*svv - CAST(sv AS DECIMAL(38,0))*sv AS DOUBLE) AS cvv",
+            "CAST(CAST(n AS DECIMAL(38,0))*suv - CAST(su AS DECIMAL(38,0))*sv AS DOUBLE) AS cuv",
+            "CAST(CAST(n AS DECIMAL(38,0))*suy - CAST(su AS DECIMAL(38,0))*sy AS DOUBLE) AS cuy",
+            "CAST(CAST(n AS DECIMAL(38,0))*svy - CAST(sv AS DECIMAL(38,0))*sy AS DOUBLE) AS cvy",
+            "CAST(CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy AS DOUBLE) AS cyy")
           .selectExpr("n", "cyy - cuy * cuy / cuu AS sse1",
             """cyy - ((cuy*cvv - cvy*cuv) / (cuu*cvv - cuv*cuv)) * cuy
                    - ((cvy*cuu - cuy*cuv) / (cuu*cvv - cuv*cuv)) * cvy
@@ -300,12 +303,12 @@ object QueriesEA extends QueryPack {
           FROM f),
         c AS (
           SELECT n,
-                 CAST(n*suu - su*su AS DOUBLE) AS cuu,
-                 CAST(n*svv - sv*sv AS DOUBLE) AS cvv,
-                 CAST(n*suv - su*sv AS DOUBLE) AS cuv,
-                 CAST(n*suy - su*sy AS DOUBLE) AS cuy,
-                 CAST(n*svy - sv*sy AS DOUBLE) AS cvy,
-                 CAST(n*syy - sy*sy AS DOUBLE) AS cyy
+                 CAST(CAST(n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS DOUBLE) AS cuu,
+                 CAST(CAST(n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS DOUBLE) AS cvv,
+                 CAST(CAST(n AS HUGEINT)*suv - CAST(su AS HUGEINT)*sv AS DOUBLE) AS cuv,
+                 CAST(CAST(n AS HUGEINT)*suy - CAST(su AS HUGEINT)*sy AS DOUBLE) AS cuy,
+                 CAST(CAST(n AS HUGEINT)*svy - CAST(sv AS HUGEINT)*sy AS DOUBLE) AS cvy,
+                 CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE) AS cyy
           FROM sums),
         sse AS (
           SELECT n, cyy - cuy * cuy / cuu AS sse1,
