@@ -42,7 +42,7 @@ private[graft] object Registry {
       QueriesBC, QueriesBD, QueriesBE, QueriesBF, QueriesBG, QueriesBH, QueriesBI,
       QueriesBJ, QueriesBK, QueriesBL, QueriesBM, QueriesBN, QueriesBO, QueriesBP,
       QueriesBQ, QueriesBR, QueriesBS, QueriesBT, QueriesBU, QueriesBV, QueriesBW, QueriesBX,
-      QueriesBY, QueriesBZ, QueriesCA, QueriesCB, QueriesCC, QueriesCD, QueriesCE, QueriesCF, QueriesCG, QueriesCH, QueriesCI, QueriesCJ, QueriesCK, QueriesCL, QueriesCM, QueriesCN, QueriesCO, QueriesCP, QueriesCQ, QueriesCR, QueriesCS, QueriesCT, QueriesCU, QueriesCV, QueriesCW, QueriesCX, QueriesCY, QueriesCZ, QueriesDA, QueriesDB, QueriesDC, QueriesDD, QueriesDE, QueriesDF, QueriesDG, QueriesDH, QueriesDI, QueriesDJ, QueriesDK, QueriesDL, QueriesDM, QueriesDN, QueriesDO, QueriesDP, QueriesDQ, QueriesDR, QueriesDS, QueriesDT, QueriesDU, QueriesDV, QueriesDW, QueriesDX, QueriesDY, QueriesDZ, QueriesEA, QueriesEB, QueriesEC, QueriesED, QueriesEE, QueriesEF, QueriesEG, QueriesEH, QueriesEI, QueriesEJ, QueriesEK, QueriesEL, QueriesEM, QueriesEN, QueriesEO, QueriesEP, QueriesEQ, QueriesER, QueriesES, QueriesET, QueriesEU, QueriesEV, QueriesEW, QueriesEX, QueriesEY, QueriesEZ, QueriesFA, QueriesFB, QueriesFC, QueriesFD, QueriesFE)
+      QueriesBY, QueriesBZ, QueriesCA, QueriesCB, QueriesCC, QueriesCD, QueriesCE, QueriesCF, QueriesCG, QueriesCH, QueriesCI, QueriesCJ, QueriesCK, QueriesCL, QueriesCM, QueriesCN, QueriesCO, QueriesCP, QueriesCQ, QueriesCR, QueriesCS, QueriesCT, QueriesCU, QueriesCV, QueriesCW, QueriesCX, QueriesCY, QueriesCZ, QueriesDA, QueriesDB, QueriesDC, QueriesDD, QueriesDE, QueriesDF, QueriesDG, QueriesDH, QueriesDI, QueriesDJ, QueriesDK, QueriesDL, QueriesDM, QueriesDN, QueriesDO, QueriesDP, QueriesDQ, QueriesDR, QueriesDS, QueriesDT, QueriesDU, QueriesDV, QueriesDW, QueriesDX, QueriesDY, QueriesDZ, QueriesEA, QueriesEB, QueriesEC, QueriesED, QueriesEE, QueriesEF, QueriesEG, QueriesEH, QueriesEI, QueriesEJ, QueriesEK, QueriesEL, QueriesEM, QueriesEN, QueriesEO, QueriesEP, QueriesEQ, QueriesER, QueriesES, QueriesET, QueriesEU, QueriesEV, QueriesEW, QueriesEX, QueriesEY, QueriesEZ, QueriesFA, QueriesFB, QueriesFC, QueriesFD, QueriesFE, QueriesFF)
 
   def assertUnique(packs: Seq[QueryPack]): Unit = {
     val names = packs.flatMap(_.defs.map(_.name))

@@ -56,6 +56,27 @@ object PortableHll {
       .drop("h", "zp", "nb", "v0", "e")
   }
 
+  /** Scalar twin of the column-level estimate, over raw max-rho registers
+    * (0 = bucket empty): IDENTICAL integer accumulation and IEEE op order,
+    * so a register set merged incrementally by a stream lands on the same
+    * whole-count estimate as the batch aggregate over the same rows
+    * (StreamOps.windowedApproxDistinct's batch↔stream equivalence). */
+  private[graft] def estimateFromRegs(regs: Array[Int]): Long = {
+    var zp = 0L
+    var nb = 0L
+    var i = 0
+    while (i < M) {
+      val mr = regs(i)
+      if (mr > 0) { nb += 1; zp += 1L << (RhoCap - mr) }
+      i += 1
+    }
+    val v0 = M - nb
+    val e = K / (zp + v0 * Scale)
+    if (e < LinThreshold && v0 > 0)
+      math.round(M.toDouble * math.log(M.toDouble / v0))
+    else math.round(e)
+  }
+
   /** DuckDB twin: a sub-select producing (<groupE AS groupName>, <outName>)
     * from `fromSql`. `keyE` is cast to VARCHAR before hashing, matching the
     * Spark side's string cast. */

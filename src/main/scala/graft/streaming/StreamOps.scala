@@ -258,4 +258,62 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left_outer")
+
+  /** `ts` carries the watermarked event-time column through to the
+    * stateful operator (event-time timeout requires it to survive). */
+  final case class HllTick(w_start: Long, bucket: Int, rho: Int,
+                           ts: java.sql.Timestamp)
+  /** Per-window HLL register state — 64 small ints regardless of window
+    * cardinality (public: the state encoder constructs it reflectively). */
+  final case class HllRegs(regs: Seq[Int])
+  final case class WinDistinct(w_start: Long, approx_distinct: Long)
+
+  /** Watermarked tumbling-window approximate-distinct: the streaming form
+    * of functions.PortableHll (q17/q245's batch sketch). Per window the
+    * state is exactly 64 max-rho registers — O(1) per window however many
+    * keys arrive — and registers merge by elementwise max, so late
+    * micro-batches fold in losslessly. The emitted estimate re-runs the
+    * SAME integer harmonic sum as the batch aggregate, so after the last
+    * row of a window lands, the streamed estimate EQUALS
+    * PortableHll.approxDistinct on the same rows (spec-proven across
+    * arbitrary micro-batch splits). Update mode: each trigger re-emits
+    * every window it touched with the freshened estimate; state evicts
+    * once the event-time watermark passes window end. */
+  def windowedApproxDistinct(events: DataFrame, tsCol: String,
+                             keyCol: String, windowMs: Long,
+                             watermark: String): Dataset[WinDistinct] = {
+    import graft.functions.{PortableHash, PortableHll}
+    implicit val tickEnc = Encoders.product[HllTick]
+    implicit val regsEnc = Encoders.product[HllRegs]
+    implicit val outEnc = Encoders.product[WinDistinct]
+    implicit val longEnc = Encoders.scalaLong
+    val ticks = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("w_start",
+        expr(s"CAST(unix_millis($tsCol) AS BIGINT) DIV $windowMs * $windowMs"))
+      .withColumn("h", PortableHash.md5Long(col(keyCol).cast("string")))
+      .select(col("w_start"),
+        expr("CAST(h & 63 AS INT)").as("bucket"),
+        expr("CAST(least(1 + bit_count(((h >> 6) & -(h >> 6)) - 1), 40) AS INT)")
+          .as("rho"),
+        col(tsCol).as("ts"))
+      .as[HllTick]
+    ticks.groupByKey(_.w_start)
+      .flatMapGroupsWithState[HllRegs, WinDistinct](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (w, rows, state: GroupState[HllRegs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val regs = state.getOption
+              .map(_.regs.toArray).getOrElse(new Array[Int](64))
+            rows.foreach(r => if (r.rho > regs(r.bucket)) regs(r.bucket) = r.rho)
+            state.update(HllRegs(regs.toIndexedSeq))
+            // evict once the watermark passes window end (clamped ahead of
+            // the current watermark — a timeout at-or-below it throws)
+            state.setTimeoutTimestamp(
+              math.max(w + windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(WinDistinct(w, PortableHll.estimateFromRegs(regs)))
+          }
+      }
+  }
 }

@@ -287,4 +287,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.size == n, "stream emitted exactly one tick per input")
     } finally query.stop()
   }
+
+  test("windowedApproxDistinct: streamed register merge equals the batch " +
+      "PortableHll estimate across arbitrary micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+
+    // (ts, user): 3 ten-minute windows, users overlap across windows and
+    // recur across micro-batches (the register-merge path must dedup them)
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val rows = (0 until 180).map { i =>
+      (ts(i % 30), (i * 7919 % 97).toLong) // 97 users scattered over 3 windows
+    }
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    // final estimate per window survives in `latest` (update mode re-emits)
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val query = StreamOps
+      .windowedApproxDistinct(df, "ts", "user_id", 600000L, "2 hours")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.WinDistinct], _: Long) =>
+        b.collect().foreach(w => latest(w.w_start) = w.approx_distinct)
+      }
+      .start()
+    try {
+      // three uneven micro-batches
+      Seq(rows.slice(0, 50), rows.slice(50, 51), rows.slice(51, 180)).foreach { b =>
+        input.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val batch = graft.functions.PortableHll.approxDistinct(
+          rows.toDF("ts", "user_id")
+            .withColumn("w_start",
+              expr("CAST(unix_millis(ts) AS BIGINT) DIV 600000 * 600000")),
+          col("user_id"), Seq("w_start"), "ad")
+        .collect()
+        .map(r => r.getAs[Long]("w_start") -> r.getAs[Long]("ad")).toMap
+      assert(batch.nonEmpty && batch.keySet == latest.keySet)
+      batch.foreach { case (w, ad) =>
+        assert(latest(w) == ad, s"window $w: stream ${latest(w)} batch $ad")
+      }
+    } finally query.stop()
+  }
 }

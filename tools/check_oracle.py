@@ -47,6 +47,11 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = n_timeout = 0
     only = set(sys.argv[3:])
+    # Optional: dump per-query DuckDB oracle seconds (runs=1) so a big-SF
+    # parity sweep doubles as a baseline timing pass (bench_baseline.py
+    # sentinel conventions: -2 timeout, -1 error).
+    times_json = os.environ.get("ORACLE_TIMES_JSON")
+    times = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -63,17 +68,22 @@ def main():
                 f"SELECT * FROM read_parquet('{spath}/*.parquet')")
             scols = [d[0] for d in sres.description]
             srows = sres.fetchall()
+            import time as _time
+            t0 = _time.perf_counter()
             ores = con.execute(oracle[name])
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
+            times[name] = round(_time.perf_counter() - t0, 3)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S:.0f}s "
                   f"(spark rows dumped ok; parity not assessed)", flush=True)
             n_timeout += 1
+            times[name] = -2.0
             continue
         except Exception as e:
             print(f"FAIL {name}: {e}", flush=True)
             n_bad += 1
+            times[name] = -1.0
             continue
         finally:
             if watchdog:
@@ -94,6 +104,12 @@ def main():
             continue
         print(f"ok   {name} ({len(a)} rows)", flush=True)
         n_ok += 1
+    if times_json:
+        total = sum(v for v in times.values() if v >= 0)
+        json.dump({"engine": f"duckdb {duckdb.__version__}", "sf": sf_dir,
+                   "runs": 1, "unit": "sec", "total": round(total, 3),
+                   "n_queries": len(times), "timeout_s": TIMEOUT_S,
+                   "queries": times}, open(times_json, "w"), indent=0)
     print(f"== {n_ok} ok, {n_bad} fail" +
           (f", {n_timeout} oracle-timeout" if n_timeout else ""))
     sys.exit(1 if n_bad else 0)
