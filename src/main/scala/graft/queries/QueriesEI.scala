@@ -216,10 +216,14 @@ object QueriesEI extends QueryPack {
           (acc, g) => acc.join(g, Seq("n", "ybar")))
         joined.selectExpr("n",
             "g0 DIV n AS gamma0",
+            // Bartlett weights 2·(1−l/6) spelled as (6−l)/3 with an
+            // explicit DOUBLE cast: bare `1.0/6` is DECIMAL division in
+            // DuckDB (r6 parity lesson) and tipped the milli floor at
+            // sf1 magnitudes
             """CAST(floor(sqrt((CAST(g0 AS DOUBLE)
-                 + 2 * (1 - 1.0/6) * g1 + 2 * (1 - 2.0/6) * g2
-                 + 2 * (1 - 3.0/6) * g3 + 2 * (1 - 4.0/6) * g4
-                 + 2 * (1 - 5.0/6) * g5) / n / n) * 1000) AS BIGINT)
+                 + (CAST(5 AS DOUBLE)/3) * g1 + (CAST(4 AS DOUBLE)/3) * g2
+                 + (CAST(3 AS DOUBLE)/3) * g3 + (CAST(2 AS DOUBLE)/3) * g4
+                 + (CAST(1 AS DOUBLE)/3) * g5) / n / n) * 1000) AS BIGINT)
                AS nw_se_milli""",
             """CAST(floor(sqrt(CAST(g0 AS DOUBLE) / n / n) * 1000)
                AS BIGINT) AS iid_se_milli""")
@@ -259,9 +263,9 @@ object QueriesEI extends QueryPack {
         v AS (
           SELECT n, g0 // n AS gamma0,
                  CAST(floor(sqrt((CAST(g0 AS DOUBLE)
-                   + 2 * (1 - 1.0/6) * g1 + 2 * (1 - 2.0/6) * g2
-                   + 2 * (1 - 3.0/6) * g3 + 2 * (1 - 4.0/6) * g4
-                   + 2 * (1 - 5.0/6) * g5) / n / n) * 1000) AS BIGINT)
+                   + (CAST(5 AS DOUBLE)/3) * g1 + (CAST(4 AS DOUBLE)/3) * g2
+                   + (CAST(3 AS DOUBLE)/3) * g3 + (CAST(2 AS DOUBLE)/3) * g4
+                   + (CAST(1 AS DOUBLE)/3) * g5) / n / n) * 1000) AS BIGINT)
                    AS nw_se_milli,
                  CAST(floor(sqrt(CAST(g0 AS DOUBLE) / n / n) * 1000)
                    AS BIGINT) AS iid_se_milli
