@@ -272,6 +272,10 @@ object QueriesBA extends QueryPack {
           col("p_partkey").as("kb"), col("p_name").as("nb"))
         a.join(b, Seq("p_brand", "p_size"))
           .where(col("ka") < col("kb"))
+          // measured at sf1 and kept as-is: both a |len(a)-len(b)| ≤ 4
+          // pregate (length() is O(len) codepoint-counting, prunes little
+          // on this corpus) and the 3-arg bounded levenshtein (breaks
+          // whole-stage codegen) benchmarked SLOWER than the plain form
           .withColumn("d", levenshtein(col("na"), col("nb")))
           .where(col("d") <= 4)
           .groupBy("p_brand")

@@ -140,16 +140,41 @@ object QueriesEG extends QueryPack {
         // so the finish is order-insensitive. One Spark job instead of an
         // eager count + a two-window assembly job (r7 verdict: q535 was
         // floor-bound on two bounded agg passes).
-        val pairs = d
-          .select(col("source"), explode(expr(
-            """zip_with(split(text, ''),
-                        slice(split(text, ''), 2, length(text) - 1),
-                        (a, b) -> struct(a AS c1, b AS c2))""")).as("p"))
-          .select(col("source"), col("p.c1").as("c1"), col("p.c2").as("c2"))
-          .groupBy("source", "c1", "c2").agg(count(lit(1)).as("n12c"))
-          .collect()
-          .map(r => (r.getAs[String]("source"), r.getAs[String]("c1"),
-            Option(r.getAs[String]("c2")), r.getAs[Long]("n12c")))
+        val pairs = {
+          // census generation: one imperative charAt pass per doc into a
+          // per-partition hash map (map-side pre-aggregation — the shuffle
+          // carries ≤ alphabet²×sources rows per partition). The previous
+          // explode(zip_with(split(text,''), …)) build allocated a struct
+          // per character position (r8: 10.9 s at sf1); same census, same
+          // NULL-padded last char, ASCII corpus so charAt == character.
+          val sc0 = s
+          import sc0.implicits._
+          d.select(col("source"), col("text")).as[(String, String)]
+            .mapPartitions { it =>
+              val m = scala.collection.mutable.HashMap
+                .empty[(String, Int, Int), Long]
+              it.foreach { case (src, text) =>
+                var i = 0
+                val n = text.length
+                while (i < n) {
+                  val k = (src, text.charAt(i).toInt,
+                    if (i + 1 < n) text.charAt(i + 1).toInt else -1)
+                  m.update(k, m.getOrElse(k, 0L) + 1L)
+                  i += 1
+                }
+              }
+              m.iterator.map { case ((src, a, b), cnt) =>
+                (src, a.toChar.toString,
+                  if (b < 0) null else b.toChar.toString, cnt)
+              }
+            }
+            .toDF("source", "c1", "c2", "n12p")
+            .groupBy("source", "c1", "c2")
+            .agg(sum("n12p").cast("long").as("n12c"))
+            .collect()
+            .map(r => (r.getAs[String]("source"), r.getAs[String]("c1"),
+              Option(r.getAs[String]("c2")), r.getAs[Long]("n12c")))
+        }
         // StrictMath.log — Spark's Log expression delegates to it, and
         // Math.log may pick a platform intrinsic that differs by 1 ulp
         def term(n: Long, tot: Long, ctx: Long): Long =

@@ -35,6 +35,9 @@ object QueriesW extends QueryPack {
           .withColumn("v", expr(s"CASE WHEN i = 0 THEN $name " +
             s"ELSE concat(substr($name, 1, i - 1), substr($name, i + 1)) END"))
         variants(probes, "p_name").join(variants(base, "b_name"), "v")
+          // measured at sf1 and kept plain: a length pregate and the
+          // 3-arg bounded levenshtein both benchmarked slower here
+          // (codegen break / O(len) length() per candidate)
           .filter(levenshtein(col("p_name"), col("b_name")) <= 1)
           .select("p_key", "b_key").distinct()
           .groupBy(expr("CAST(p_key = b_key AS STRING)").as("self_link"))
