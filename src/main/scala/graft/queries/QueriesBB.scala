@@ -89,7 +89,10 @@ object QueriesBB extends QueryPack {
           .where(col("id_a") < col("id_b") &&
             levenshtein(col("na"), col("nb")) <= 2)
           .select("id_a", "id_b")
-        Components.labelPropagation(edges, "id_a", "id_b")
+        // dual-path components (round-8): one-task union-find under the
+        // bounded edge-census threshold, label propagation above it —
+        // same (id, lbl=min id) contract, spec-asserted equal
+        Components.connectedComponents(edges, "id_a", "id_b")
           .groupBy("lbl").agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"), min("lbl").as("min_cluster"))

@@ -201,6 +201,10 @@ object QueriesBD extends QueryPack {
         // prior un-oriented und×und two-hop join pushed 4× the wedge
         // volume through the shuffle (r7 verdict #2, the q185 census
         // orientation).
+        // (r8: broadcasting both wedge sides under a census gate was
+        // measured 0.8 s SLOWER than the shuffled joins here — the cached
+        // edge exchange is reused across the three subtrees, while two
+        // broadcast builds of it are not)
         val tri = e.select(col("a").as("x"), col("b").as("y"))
           .join(e.select(col("a").as("y"), col("b").as("z")), "y")
           .join(e.select(col("a").as("x"), col("b").as("z")),

@@ -56,25 +56,36 @@ object QueriesDK extends QueryPack {
             "CAST(p_size DIV 10 AS STRING) AS sizeband",
             "o_orderpriority AS priority", "l_linestatus AS linestatus",
             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y")
-        base.cache(); base.count()
-        def mi(fcol: String): DataFrame = {
-          val cells = base.groupBy(col(fcol).as("f"), col("y"))
-            .agg(count(lit(1)).cast("bigint").as("cfy"))
-          val fm = cells.groupBy("f").agg(sum("cfy").cast("bigint").as("cf"))
-          val ym = cells.groupBy("y").agg(sum("cfy").cast("bigint").as("cy"))
-          val nn = cells.agg(sum("cfy").cast("bigint").as("nn"))
-          cells.join(fm, "f").join(ym, "y").crossJoin(broadcast(nn))
-            .selectExpr(
-              "CAST(floor(CAST(cfy AS DOUBLE) * ln((CAST(cfy AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(cf AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6) AS BIGINT) AS term",
-              "nn")
-            .groupBy("nn")
-            .agg(count(lit(1)).cast("long").as("cells"),
-              sum("term").cast("bigint").as("sum_terms"))
-            .selectExpr(s"'$fcol' AS feature", "cells", "sum_terms",
-              "sum_terms DIV nn AS mi_micro")
-        }
-        mi("brand").union(mi("sizeband")).union(mi("priority"))
-          .union(mi("linestatus"))
+        // ALL FOUR features in one exploded census pass (the per-feature
+        // mi() pipelines were ~18 small jobs of pure overhead at sf0.1):
+        // one (feature, f, y) shuffle, then bounded-domain marginal joins
+        val cells = base
+          .select(explode(expr(
+            """array(struct('brand' AS feature, brand AS f),
+                     struct('sizeband' AS feature, sizeband AS f),
+                     struct('priority' AS feature, priority AS f),
+                     struct('linestatus' AS feature, linestatus AS f))""")).as("e"),
+            col("y"))
+          .select(col("e.feature").as("feature"), col("e.f").as("f"), col("y"))
+          .groupBy("feature", "f", "y")
+          .agg(count(lit(1)).cast("bigint").as("cfy"))
+        cells.cache(); cells.count()
+        val fm = cells.groupBy("feature", "f")
+          .agg(sum("cfy").cast("bigint").as("cf"))
+        val ym = cells.groupBy("feature", "y")
+          .agg(sum("cfy").cast("bigint").as("cy"))
+        val nn = cells.groupBy("feature")
+          .agg(sum("cfy").cast("bigint").as("nn"))
+        cells.join(fm, Seq("feature", "f")).join(ym, Seq("feature", "y"))
+          .join(broadcast(nn), "feature")
+          .selectExpr("feature",
+            "CAST(floor(CAST(cfy AS DOUBLE) * ln((CAST(cfy AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(cf AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6) AS BIGINT) AS term",
+            "nn")
+          .groupBy("feature", "nn")
+          .agg(count(lit(1)).cast("long").as("cells"),
+            sum("term").cast("bigint").as("sum_terms"))
+          .selectExpr("feature", "cells", "sum_terms",
+            "sum_terms DIV nn AS mi_micro")
           .orderBy("feature")
       },
       Some {
@@ -209,7 +220,10 @@ object QueriesDK extends QueryPack {
           val tot = byV.agg(sum("c").cast("bigint").as("nt"),
             sum("sv").cast("bigint").as("st"))
           // both split-candidate cumsums in one two-phase pass over the
-          // distinct-value domain (was: two single-task global windows)
+          // distinct-value domain (was: two single-task global windows;
+          // a plain-window rewrite was re-tried in r8 and measured 0.5 s
+          // SLOWER — the checkpoint pin also truncates the stump lineage
+          // that the later broadcast(s1)/broadcast(s2) re-evaluate)
           val cand = graft.operators.ScaleRank.withGlobalRunningSums(
               byV, Seq(col("v")), Seq(col("c") -> "nl", col("sv") -> "sl"))
             .crossJoin(broadcast(tot))
@@ -325,34 +339,43 @@ object QueriesDK extends QueryPack {
         val vals = t(s, dir, "orders")
           .selectExpr("o_orderkey", "o_custkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v")
-        // quantile cuts from ONE distinct-value cumsum (all 8 cut points
-        // read the same two-phase frame); the per-row global rank window
-        // is gone — rows only need the broadcast total n
+        // quantile cuts from ONE distinct-value cumsum; the cents domain
+        // is generator-fixed at any SF (bounded §5 aggwin class 1), so a
+        // plain window over the aggregated census replaces the ScaleRank
+        // frame and its checkpoint pin
         val SR = graft.operators.ScaleRank
-        val byV = vals.groupBy("v").agg(count(lit(1)).as("c"))
-        val cum = SR.withTotals(
-          SR.withGlobalRunningSum(byV, Seq(col("v")), col("c"), "cumv"),
-          Seq(sum("c").cast("bigint").as("n")))
-        def cutsFor(tree: Int): DataFrame = {
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cum = vals.groupBy("v").agg(count(lit(1)).as("c"))
+          .withColumn("cumv", sum("c").over(wCum))
+          .crossJoin(broadcast(vals.agg(count(lit(1)).cast("bigint").as("n"))))
+        // ALL 8 cut points in ONE aggregation pass over the cumsum frame
+        // (the per-tree agg-pair form recomputed the uncached two-phase
+        // frame 8 times — 3.9 s of pure job overhead at sf0.1), then
+        // stack the single row back into (tree, c1, c2)
+        val cutAggs = (1 to 4).flatMap { tree =>
           val h1 = math.abs((tree * 2654435761L + 17) % 80) + 10
           val h2 = math.abs((tree * 40503L + 5381) % 80) + 10
           val (lo, hi) = (math.min(h1, h2), math.max(h1, h2) + 1)
-          cum.where(col("cumv") * 100 >= col("n") * lo)
-            .agg(min("v").as("c1")).crossJoin(
-              cum.where(col("cumv") * 100 >= col("n") * hi)
-                .agg(min("v").as("c2")))
-            .selectExpr(s"CAST($tree AS BIGINT) AS tree", "c1", "c2")
+          Seq(min(when(expr(s"cumv * 100 >= n * $lo"), col("v"))).as(s"c1_$tree"),
+            min(when(expr(s"cumv * 100 >= n * $hi"), col("v"))).as(s"c2_$tree"))
         }
-        val cuts = (1 to 4).map(cutsFor).reduce(_ union _)
+        val stacked = (1 to 4)
+          .map(t => s"CAST($t AS BIGINT), c1_$t, c2_$t").mkString(", ")
+        val cuts = cum.agg(cutAggs.head, cutAggs.tail: _*)
+          .selectExpr(s"stack(4, $stacked) AS (tree, c1, c2)")
         val ranked = SR.withTotals(vals,
           Seq(count(lit(1)).cast("long").as("n")))
         ranked.cache(); ranked.count()
         val cells = ranked.crossJoin(broadcast(cuts))
           .selectExpr("o_orderkey", "o_custkey", "tree", "n",
             "CASE WHEN v < c1 THEN 0 WHEN v < c2 THEN 1 ELSE 2 END AS cell")
+        // occ is ≤ 4 trees × 3 cells = 12 rows: broadcast it so scoring
+        // is a map-side join instead of a full shuffle of cells
         val occ = cells.groupBy("tree", "cell")
           .agg(count(lit(1)).cast("bigint").as("cn"))
-        val scored = cells.join(occ, Seq("tree", "cell"))
+        val scored = cells.join(broadcast(occ), Seq("tree", "cell"))
           .groupBy("o_orderkey", "o_custkey")
           .agg(sum(expr("cn * 1000000 DIV n")).cast("bigint").as("score"))
         scored

@@ -54,24 +54,27 @@ object QueriesDU extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x", "nl AS y")
         base.cache(); base.count()
         // ONE distinct-value cumsum per column; all three cut points read
-        // it (six independent quantileDisc pipelines cost 6 checkpoints
-        // and benched 3.8x slower)
-        val SR = graft.operators.ScaleRank
-        def cumFor(cn: String) = SR.withTotals(
-          SR.withGlobalRunningSum(
-            base.groupBy(cn).agg(count(lit(1)).as("c")),
-            Seq(col(cn)), col("c"), "cum"),
-          Seq(sum("c").cast("bigint").as("nn")))
-        // all three cut points per column in ONE aggregation job over the
-        // cum frame (explode the thresholds, min per qualifying value)
-        def cuts(cn: String, prefix: String) = cumFor(cn)
+        // it. The cumsum runs as a plain window over the AGGREGATED value
+        // census — both domains are bounded by construction (price cents
+        // range is generator-fixed at any SF; lines-per-order ≤ 7), so
+        // this is the §5 aggwin class (1), not a row-rank: the earlier
+        // two ScaleRank frames cost two checkpoint pins and benched
+        // 3.3 s of job overhead at sf0.1
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        def cuts(cn: String, prefix: String) = base
+          .groupBy(col(cn).as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wCum))
+          .crossJoin(broadcast(base
+            .agg(count(lit(1)).cast("bigint").as("nn"))))
           .withColumn("qbp", explode(expr(
             "array(CAST(2500 AS BIGINT), CAST(5000 AS BIGINT), CAST(7500 AS BIGINT))")))
           .where(col("cum") * 10000 >= col("nn") * col("qbp"))
           .groupBy()
-          .agg(min(when(col("qbp") === 2500, col(cn))).as(s"${prefix}25"),
-            min(when(col("qbp") === 5000, col(cn))).as(s"${prefix}50"),
-            min(when(col("qbp") === 7500, col(cn))).as(s"${prefix}75"))
+          .agg(min(when(col("qbp") === 2500, col("v"))).as(s"${prefix}25"),
+            min(when(col("qbp") === 5000, col("v"))).as(s"${prefix}50"),
+            min(when(col("qbp") === 7500, col("v"))).as(s"${prefix}75"))
         val qs = cuts("x", "qx").crossJoin(cuts("y", "qy"))
         val tot = base.agg(count(lit(1)).cast("bigint").as("n"))
         val uv = qs.crossJoin(broadcast(tot))

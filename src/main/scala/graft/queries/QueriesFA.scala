@@ -188,6 +188,8 @@ object QueriesFA extends QueryPack {
             expr("o_orderkey = l_orderkey"))
           .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("pk"))
           .distinct()
+        // NOTE: caching cp was measured SLOWER (3.0 -> 3.6 s at sf0.1) —
+        // Catalyst already reuses the distinct exchange for both sides
         val votes = cp.join(cust.where(col("labeled") === 0L)
             .select(col("c_custkey"), col("seg").as("true_seg")), Seq("c_custkey"))
           .join(cp.selectExpr("c_custkey AS nb", "pk")
