@@ -70,9 +70,15 @@ object PlanScan {
           val cart = planStr.contains("CartesianProduct")
           // AQE propagates EmptyRelation through empty intermediate
           // results at tiny SFs — nothing executes, so "no codegen
-          // span" is vacuous there (q214/q216 at sf0.001)
+          // span" is vacuous there (q214/q216 at sf0.001). Same for the
+          // driver-finish pattern (q463/q506/q535/q597/q625): the FINAL
+          // plan is a LocalTableScan of driver-computed rows with no
+          // distributed source — the heavy Spark stages ran as earlier
+          // census jobs that PlanScan's per-query root can't see.
           val wsc = "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined ||
-            planStr.contains("EmptyRelation")
+            planStr.contains("EmptyRelation") ||
+            (planStr.contains("LocalTableScan") &&
+              !planStr.contains("Scan parquet"))
           val (rawWin, aggWin) = globalWindows(plan)
           aggTotal += aggWin
           if (cart || !wsc || rawWin > 0) {
