@@ -147,26 +147,32 @@ object QueriesCL extends QueryPack {
           .selectExpr(s"($ixE) * 1024 DIV 36000 AS tx",
             s"($iyE) * 1024 DIV 17000 AS ty")
           .distinct()
-        def compact(df: org.apache.spark.sql.DataFrame) = {
-          // parents having all 4 children merge; others keep their tiles
-          val withP = df.selectExpr("tx", "ty", "tx DIV 2 AS px", "ty DIV 2 AS py")
-          val full = withP.groupBy("px", "py").agg(count(lit(1)).as("c"))
-            .where(col("c") === 4)
-          val merged = full.selectExpr("px AS tx", "py AS ty")
-          val kept = withP.join(full, Seq("px", "py"), "left_anti")
-            .select("tx", "ty")
-          (merged.union(kept), merged, kept)
+        // the distinct tile census is bounded by the z10 grid itself
+        // (≤ 1024² tiles BY CONSTRUCTION, whatever the event volume), so
+        // one distributed distinct feeds a driver-side 3-level compaction
+        // (the q625 driver-finish pattern). The prior per-level
+        // DataFrame chain re-evaluated each level's two subtrees —
+        // exponential subtree blowup measured at 3.1 s of pure job
+        // overhead at sf0.1 (all on a few-thousand-row census).
+        // multiset semantics throughout (the SQL UNION ALL): a merged
+        // parent can numerically collide with a kept child tile from the
+        // finer zoom — both rows survive, exactly as in the oracle
+        var cur: Seq[(Long, Long)] = z10.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val levels = Seq("z09", "z08", "z07").map { name =>
+          // .iterator BEFORE .collect: collect on a Map with a
+          // pair-producing function rebuilds a MAP and silently collapses
+          // parents sharing a px — the sf1 parity gate caught this (1024
+          // full parents -> 446 "distinct px" at the dense sf1 census)
+          val full = cur.groupBy { case (x, y) => (x / 2, y / 2) }
+            .iterator.collect { case (p, ch) if ch.size == 4 => p }.toSet
+          val kept = cur.filterNot { case (x, y) => full.contains((x / 2, y / 2)) }
+          cur = full.toSeq ++ kept
+          (name, cur.size.toLong, full.size.toLong)
         }
-        val (l9, m9, k9) = compact(z10)
-        val (l8, m8, k8) = compact(l9)
-        val (l7, m7, k7) = compact(l8)
-        def stats(name: String, all: org.apache.spark.sql.DataFrame,
-            merged: org.apache.spark.sql.DataFrame) =
-          all.agg(count(lit(1)).as("n_tiles"))
-            .crossJoin(merged.agg(count(lit(1)).as("n_merged")))
-            .select(lit(name).as("level"), col("n_tiles"), col("n_merged"))
-        stats("z09", l9, m9).union(stats("z08", l8, m8))
-          .union(stats("z07", l7, m7))
+        val sc0 = s
+        import sc0.implicits._
+        levels.toDF("level", "n_tiles", "n_merged")
           .orderBy(col("level").desc)
       },
       Some(s"""

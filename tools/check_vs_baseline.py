@@ -35,8 +35,12 @@ import sys
 # q616 eager cache (all measured SLOWER and reverted — negative
 # results recorded in-code). These nine remain the honest perf-weak
 # set for round 8; new offenders still trip the gate.
+# q357 left the set same-session: the per-level DataFrame chain became a
+# driver-side compaction over the grid-bounded tile census (3.1 -> 0.8 s;
+# the rewrite also surfaced a Map.collect pair-collapse bug that ONLY the
+# dense sf1 census could expose — see QueriesCL.scala).
 EXEMPT = {
-    "q225_link_jaccard", "q357_quadkey_compact", "q428_bipartite_audit",
+    "q225_link_jaccard", "q428_bipartite_audit",
     "q453_stump_boost", "q457_hub_matrix", "q467_skyline3d",
     "q478_membership_inference", "q561_katz_centrality", "q616_label_prop",
 }
