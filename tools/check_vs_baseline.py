@@ -33,7 +33,7 @@ import sys
 # q216 dual-path union-find (3.4->0.7s, kept), q454/q491/q451/q420
 # (kept, now below floor); q453 plain-window, q225 broadcast-wedge,
 # q616 eager cache (all measured SLOWER and reverted — negative
-# results recorded in-code). These nine remain the honest perf-weak
+# results recorded in-code). These eight remain the honest perf-weak
 # set for round 8; new offenders still trip the gate.
 # q357 left the set same-session: the per-level DataFrame chain became a
 # driver-side compaction over the grid-bounded tile census (3.1 -> 0.8 s;
