@@ -36,11 +36,31 @@ object IdempotentSink {
   /** The foreachBatch body: `stream.writeStream.foreachBatch(
     * IdempotentSink.writeBatch(root) _)`. Returns true when this call
     * performed the write, false when the batch was already committed
-    * (replay after restart). */
+    * (replay after restart).
+    *
+    * Replay path subtlety: a replayed batch must still be EVALUATED even
+    * though its output is skipped. When the upstream pipeline is stateful
+    * (stream-stream join, aggregation), every micro-batch run is expected
+    * to commit its state stores; skipping evaluation leaves 0 of N commits
+    * and Spark kills the query with STATE_STORE_COMMIT_VALIDATION_FAILED —
+    * i.e. the restart would wedge permanently in exactly the torn window
+    * (marker created, checkpoint offset not yet committed) this protocol
+    * exists to survive. So the already-committed path drains the batch
+    * (foreachPartition no-op — full state-store work, no sink bytes) and
+    * only skips the write itself. */
   def writeBatch(root: String)(batch: DataFrame, batchId: Long): Boolean = {
     val hfs = fs(batch)
     val marker = markerPath(root, batchId)
-    if (hfs.exists(marker)) return false
+    if (hfs.exists(marker)) {
+      // Drain without writing: state stores upstream of the sink commit
+      // exactly as on the first attempt, output stays single-copy. The
+      // iterator must be EXHAUSTED — stateful operators commit their
+      // stores on iterator completion, not task start.
+      batch.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
+      return false
+    }
     batch.write.mode("overwrite").parquet(s"$root/batch=$batchId")
     val out = hfs.create(marker, true)
     try out.write(s"$batchId\n".getBytes(StandardCharsets.UTF_8)) finally out.close()
