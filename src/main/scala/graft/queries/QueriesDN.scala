@@ -152,7 +152,13 @@ object QueriesDN extends QueryPack {
     // --------------------------------------------------------------- q464
     QDef("q464_item_item_cf",
       (s, dir) => {
-        val inc = t(s, dir, "lineitem")
+        // one shuffle instead of distinct + self-join: collect_set(brand)
+        // per cust dedups map-side AND replaces the cust-keyed self-join —
+        // per-cust pair generation is local O(b²) with b ≤ |brand| (25),
+        // so the only wide exchanges are the cust agg and the tiny
+        // (≤ brand²)-row pair rollup. At 100 TB the self-join's edge-list
+        // shuffle is the bottleneck this removes.
+        val byCust = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
@@ -160,7 +166,8 @@ object QueriesDN extends QueryPack {
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-          .distinct()
+          .groupBy("cust")
+          .agg(sort_array(collect_set(col("brand"))).as("brands"))
           .cache()
         // fuse cache materialization with the first real consumer (the
         // Components.scala pattern, r7 verdict #3): the per-brand degree
@@ -169,18 +176,28 @@ object QueriesDN extends QueryPack {
         val sc = s
         import sc.implicits._
         val deg = broadcast(
-          inc.groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
+          byCust.select(explode(col("brands")).as("brand"))
+            .groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
             .collect()
             .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n"))).toSeq
             .toDF("brand", "n"))
-        val pairs = inc.as("x").join(inc.as("y"),
-            col("x.cust") === col("y.cust") &&
-              col("x.brand") < col("y.brand"))
-          .groupBy(col("x.brand").as("ba"), col("y.brand").as("bb"))
+        // posexplode first, slice second: keeps each generator child cheap
+        // (explode re-evaluates its child per OUTPUT row — a fused
+        // all-pairs transform() would be O(b²) per emitted pair)
+        val pairs = byCust
+          .select(col("brands"), posexplode(col("brands")).as(Seq("i", "ba")))
+          .select(col("ba"), explode(slice(col("brands"), col("i") + lit(2),
+            size(col("brands")))).as("bb"))
+          .groupBy("ba", "bb")
           .agg(count(lit(1)).cast("bigint").as("nab"))
-        val sym = pairs.select(col("ba"), col("bb"), col("nab"))
-          .union(pairs.select(col("bb").as("ba"), col("ba").as("bb"),
-            col("nab")))
+        // both orientations from ONE pass over the aggregate: a union of
+        // two projections of the lazy `pairs` re-derives the upstream agg
+        // per branch (r8 gate: 2.2 s, 4.1x oracle); inline() over a
+        // 2-element struct array is a cheap generator on already-
+        // aggregated (≤ brand²) rows
+        val sym = pairs.select(inline(array(
+          struct(col("ba"), col("bb"), col("nab")),
+          struct(col("bb").as("ba"), col("ba").as("bb"), col("nab")))))
         val scored = sym
           .join(deg.select(col("brand").as("ba"), col("n").as("na")), "ba")
           .join(deg.select(col("brand").as("bb"), col("n").as("nb")), "bb")
