@@ -122,40 +122,82 @@ object QueriesDD extends QueryPack {
     // --------------------------------------------------------------- q428
     QDef("q428_bipartite_audit",
       (s, dir) => {
-        val lp = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-        val e = lp.select(col("ok"), col("l_partkey").as("a"))
-          .join(lp.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
-          .where(col("a") < col("b"))
+        // edge build via collect_set per order (the q464 pattern): one
+        // map-side-combinable shuffle + a pair rollup replaces
+        // distinct + ok-keyed self-join
+        val e = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey"))
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+          .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
+          .select(col("a"), explode(slice(col("pks"), col("i") + lit(2),
+            size(col("pks")))).as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
           .where(col("cnt") >= 2).select("a", "b")
-        e.cache(); e.count()
-        val adj = e.select(col("a").as("u"), col("b").as("v"))
-          .union(e.select(col("b").as("u"), col("a").as("v")))
-        val hub = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-          .orderBy(col("deg").desc, col("u")).limit(1)
-          .select(col("u").as("node"), lit(0L).as("hop"))
-          .localCheckpoint()
-        var dist = hub
-        for (h <- 1 to 4) {
-          val nxt = dist.where(col("hop") === (h - 1))
-            .withColumnRenamed("node", "u").join(adj, Seq("u"))
-            .select(col("v").as("cand")).distinct()
-            .join(dist, col("cand") === col("node"), "left_anti")
-            .select(col("cand").as("node"), lit(h.toLong).as("hop"))
-          dist = dist.union(nxt).localCheckpoint()
+        e.cache()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q216/Components pattern): the repeat-pair
+          // census is orders of magnitude smaller than lineitem, so the
+          // 4-hop BFS + per-layer edge rollup run driver-side — one job
+          // instead of 4 × (join + distinct + anti-join) shuffle rounds
+          // (r8: 3.2 s of job floors). Output is ≤ 5 layer rows.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val adj = (half ++ half.map(_.swap))
+            .groupMap(_._1)(_._2)
+          val hop = scala.collection.mutable.Map.empty[Long, Long]
+          if (adj.nonEmpty) {
+            val hub = adj.map { case (u, vs) => (u, vs.size) }
+              .minBy { case (u, d) => (-d, u) }._1
+            hop(hub) = 0L
+            var frontier = Seq(hub)
+            for (h <- 1 to 4) {
+              frontier = frontier.flatMap(adj(_)).distinct
+                .filterNot(hop.contains)
+              frontier.foreach(v => hop(v) = h.toLong)
+            }
+          }
+          val rows = half.flatMap { case (a, b) =>
+            for (ha <- hop.get(a); hb <- hop.get(b))
+              yield (math.max(ha, hb), if (ha == hb) 1L else 0L)
+          }
+          val sc2 = s
+          import sc2.implicits._
+          rows.groupMapReduce(_._1)(r => (1L, r._2)) {
+              case ((c1, i1), (c2, i2)) => (c1 + c2, i1 + i2) }
+            .toSeq.map { case (layer, (edges, intra)) =>
+              (layer, edges, intra, intra > 0) }
+            .sortBy(_._1)
+            .toDF("layer", "edges", "intra_edges", "odd_cycle_here")
+        } else {
+          // scale fallback: distributed BFS over the adjacency frame
+          val adj = e.select(col("a").as("u"), col("b").as("v"))
+            .union(e.select(col("b").as("u"), col("a").as("v")))
+          val hub = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+            .orderBy(col("deg").desc, col("u")).limit(1)
+            .select(col("u").as("node"), lit(0L).as("hop"))
+            .localCheckpoint()
+          var dist = hub
+          for (h <- 1 to 4) {
+            val nxt = dist.where(col("hop") === (h - 1))
+              .withColumnRenamed("node", "u").join(adj, Seq("u"))
+              .select(col("v").as("cand")).distinct()
+              .join(dist, col("cand") === col("node"), "left_anti")
+              .select(col("cand").as("node"), lit(h.toLong).as("hop"))
+            dist = dist.union(nxt).localCheckpoint()
+          }
+          val du = dist.select(col("node").as("a"), col("hop").as("ha"))
+          val dv = dist.select(col("node").as("b"), col("hop").as("hb"))
+          val classified = e.join(du, Seq("a")).join(dv, Seq("b"))
+            .selectExpr("ha", "hb",
+              "CASE WHEN ha = hb THEN 1 ELSE 0 END AS intra")
+          classified
+            .groupBy(greatest(col("ha"), col("hb")).as("layer"))
+            .agg(count(lit(1)).cast("long").as("edges"),
+              sum("intra").cast("long").as("intra_edges"))
+            .withColumn("odd_cycle_here", col("intra_edges") > 0)
+            .orderBy("layer")
         }
-        val du = dist.select(col("node").as("a"), col("hop").as("ha"))
-        val dv = dist.select(col("node").as("b"), col("hop").as("hb"))
-        val classified = e.join(du, Seq("a")).join(dv, Seq("b"))
-          .selectExpr("ha", "hb",
-            "CASE WHEN ha = hb THEN 1 ELSE 0 END AS intra")
-        classified
-          .groupBy(greatest(col("ha"), col("hb")).as("layer"))
-          .agg(count(lit(1)).cast("long").as("edges"),
-            sum("intra").cast("long").as("intra_edges"))
-          .withColumn("odd_cycle_here", col("intra_edges") > 0)
-          .orderBy("layer")
       },
       Some("""
         WITH lp AS MATERIALIZED (

@@ -268,22 +268,26 @@ object QueriesDQ extends QueryPack {
         val docs = t(s, dir, "documents")
           .withColumn("h", pmod(PortableHash.md5Long(col("doc_id"),
             salt = "split~"), lit(100L)))
-        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        // ONE bigram pass (r8: the train and scorable frames each
+        // re-tokenized the corpus, plus a docs re-join just to recover h —
+        // three scans of the text for one). The bigram frame carries h, so
+        // train/c2/c1/vocab/scorable are all cheap cache reads; eager
+        // count() because four subtrees of the perDoc job read it.
+        val allBg = docs.where(col("h") < 80 || col("h") >= 90)
           .withColumn("w", TextFunctions.words(col("text")))
           .where(size(col("w")) >= 2)
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id"), col("lang"), col("h"),
             explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("bg"))
-          .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
-            col("bg.w2").as("w2"))
-        val train = bigrams(docs.where(col("h") < 80))
+          .select(col("doc_id"), col("lang"), col("h"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        allBg.cache(); allBg.count()
+        val train = allBg.where(col("h") < 80)
         val c2 = train.groupBy("lang", "w1", "w2")
           .agg(count(lit(1)).cast("bigint").as("c2"))
         val c1 = c2.groupBy("lang", "w1").agg(sum("c2").cast("bigint").as("c1"))
         val vocab = train.select(col("lang"), col("w2")).distinct()
           .groupBy("lang").agg(count(lit(1)).cast("bigint").as("v"))
-        val scorable = bigrams(docs.where(col("h") < 80 || col("h") >= 90))
-          .join(docs.select(col("doc_id"), col("h")), "doc_id")
-        val perDoc = scorable
+        val perDoc = allBg
           .join(c2, Seq("lang", "w1", "w2"), "left")
           .join(c1, Seq("lang", "w1"), "left")
           .join(vocab, "lang")
@@ -291,6 +295,9 @@ object QueriesDQ extends QueryPack {
             "CAST(floor(-ln((CAST(coalesce(c2, 0) + 1 AS DOUBLE)) / (CAST(coalesce(c1, 0) + v AS DOUBLE))) * 1e6) AS BIGINT) AS nll")
           .groupBy("doc_id", "lang", "h")
           .agg(expr("sum(nll) DIV count(*)").cast("long").as("avg_nll"))
+        // cached: the tau broadcast subtree and the final rollup otherwise
+        // each recompute the three-way join
+        perDoc.cache(); perDoc.count()
         val tau = graft.operators.ScaleRank.quantileDisc(
           perDoc, col("avg_nll"), 1, 2, "tau")
         perDoc.crossJoin(broadcast(tau))

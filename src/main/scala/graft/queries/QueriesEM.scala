@@ -332,25 +332,36 @@ object QueriesEM extends QueryPack {
     QDef("q561_katz_centrality",
       (s, dir) => {
         val lp = t(s, dir, "lineitem")
-          .selectExpr("l_orderkey AS ok", "l_partkey % 64 AS pk").distinct()
-        val e = lp.selectExpr("ok", "pk AS a")
-          .join(lp.selectExpr("ok", "pk AS b"), Seq("ok"))
-          .where(expr("a <> b"))
+          .selectExpr("l_orderkey AS ok", "l_partkey % 64 AS pk")
+        // one map-side-combinable shuffle instead of distinct + ok-keyed
+        // self-join (the q464 pattern): collect_set(pk) per order dedups
+        // AND generates the co-occurrence pairs locally (≤ C(items,2) per
+        // order); co-occurrence counts are symmetric so only a < b pairs
+        // travel, mirrored after the collect.
+        val half = lp.groupBy("ok")
+          .agg(sort_array(collect_set(col("pk"))).as("pks"))
+          .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
+          .select(col("a"), explode(slice(col("pks"), col("i") + lit(2),
+            size(col("pks")))).as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-          .select("a", "b")
-        e.cache(); e.count()
-        val nodes = e.select(col("a").as("id")).distinct()
-        def step(x: org.apache.spark.sql.DataFrame) =
-          nodes.join(
-              e.join(x.selectExpr("id AS b", "x AS xb"), "b")
-                .groupBy("a").agg(sum("xb").cast("long").as("sx")),
-              col("id") === col("a"), "left")
-            .selectExpr("id", "1000 + coalesce(sx, 0L) DIV 4 AS x")
-        val x0 = nodes.withColumn("x", lit(1000L))
-        val x3 = step(step(step(x0)))
-        x3.orderBy(col("x").desc, col("id")).limit(10)
-          .selectExpr("id", "x AS katz_milli")
+          .where(col("w") >= 2).select("a", "b")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        // the node domain is pk % 64 — the edge census is ≤ 64·63 rows BY
+        // CONSTRUCTION, so the three power iterations run driver-side in
+        // exact Long arithmetic over one collected census (the q597/q625
+        // pattern) instead of 3 × (join + agg + left-join) ≈ 9 shuffles
+        // of a ≤4032-row frame (r8: 3.0 s of pure job floors).
+        val edges = half ++ half.map(_.swap)
+        val nodes = edges.map(_._1).distinct.sorted
+        var x: Map[Long, Long] = nodes.map(_ -> 1000L).toMap
+        for (_ <- 1 to 3) {
+          val sx = edges.groupMapReduce(_._1)(t => x(t._2))(_ + _)
+          x = nodes.map(id => id -> (1000L + sx.getOrElse(id, 0L) / 4)).toMap
+        }
+        val sc2 = s
+        import sc2.implicits._
+        nodes.map(id => (id, x(id))).sortBy { case (id, v) => (-v, id) }
+          .take(10).toSeq.toDF("id", "katz_milli")
       },
       Some("""
         WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 64 AS pk

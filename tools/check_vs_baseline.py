@@ -39,10 +39,16 @@ import sys
 # driver-side compaction over the grid-bounded tile census (3.1 -> 0.8 s;
 # the rewrite also surfaced a Map.collect pair-collapse bug that ONLY the
 # dense sf1 census could expose — see QueriesCL.scala).
+# Round-9 closed four more via the bounded-census / one-pass patterns:
+# q467 driver 2-D suffix-min dominance table (3.8->0.8s), q561 driver
+# Katz over the <=64-node census (3.0->1.0s), q428 dual-path driver BFS
+# (3.2->0.5s), q478 single-pass cached bigrams (2.7->1.6s). The four
+# remaining are genuinely iterative multi-shuffle shapes whose node/
+# candidate domains grow with data (no bounded census to collect), each
+# with an in-code negative-result note from a rewrite measured slower.
 EXEMPT = {
-    "q225_link_jaccard", "q428_bipartite_audit",
-    "q453_stump_boost", "q457_hub_matrix", "q467_skyline3d",
-    "q478_membership_inference", "q561_katz_centrality", "q616_label_prop",
+    "q225_link_jaccard",
+    "q453_stump_boost", "q457_hub_matrix", "q616_label_prop",
 }
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
