@@ -122,20 +122,37 @@ object QueriesCB extends QueryPack {
     // --------------------------------------------------------------- q317
     QDef("q317_linkage_score",
       (s, dir) => {
-        val c = t(s, dir, "customer").selectExpr("c_custkey",
-          "c_nationkey", "c_mktsegment",
-          "(CAST(floor(c_acctbal) AS BIGINT) + 1000) DIV 500 AS blk2",
-          "(CAST(floor(c_acctbal) AS BIGINT) + 1000) DIV 100 AS bal100",
-          "c_custkey % 7 AS f7")
-        val a = c.toDF("a_key", "a_nat", "a_seg", "a_blk", "a_bal", "a_f7")
-        val b = c.toDF("b_key", "b_nat", "b_seg", "b_blk", "b_bal", "b_f7")
-        a.join(b, col("a_nat") === col("b_nat") &&
-            col("a_blk") === col("b_blk") && col("a_key") < col("b_key"))
+        // Census-quadratic, not row-quadratic (the q214 pattern): the
+        // score depends only on the (seg, bal100, f7) cell, whose domain
+        // inside one (nation, blk2) block is ≤ 5·5·7 = 175 BY CONSTRUCTION
+        // (a 500-wide blk2 spans 5 bal100 values). Group rows to cells,
+        // pair distinct cells (struct order = any total order) weighted
+        // c_a·c_b, same-cell pairs c·(c−1)/2 at the all-equal score —
+        // block size can grow 100 TB-linear while the pair stage stays
+        // constant-bounded.
+        val cells = t(s, dir, "customer").selectExpr("c_nationkey AS nat",
+            "(CAST(floor(c_acctbal) AS BIGINT) + 1000) DIV 500 AS blk",
+            "c_mktsegment AS seg",
+            "(CAST(floor(c_acctbal) AS BIGINT) + 1000) DIV 100 AS bal",
+            "c_custkey % 7 AS f7")
+          .groupBy("nat", "blk", "seg", "bal", "f7")
+          .agg(count(lit(1)).as("c"))
+        cells.cache(); cells.count() // 3 subtrees of one job read it
+        val a = cells.toDF("nat", "blk", "a_seg", "a_bal", "a_f7", "ca")
+        val b = cells.toDF("nat", "blk", "b_seg", "b_bal", "b_f7", "cb")
+        val cross = a.join(b, Seq("nat", "blk"))
+          .where(struct(col("a_seg"), col("a_bal"), col("a_f7")) <
+            struct(col("b_seg"), col("b_bal"), col("b_f7")))
           .selectExpr(
             """(CASE WHEN a_seg = b_seg THEN 300 ELSE -150 END)
              + (CASE WHEN a_bal = b_bal THEN 220 ELSE -80 END)
-             + (CASE WHEN a_f7 = b_f7 THEN 90 ELSE -60 END) AS score""")
-          .groupBy("score").agg(count(lit(1)).as("n_pairs"))
+             + (CASE WHEN a_f7 = b_f7 THEN 90 ELSE -60 END) AS score""",
+            "ca * cb AS w")
+        val same = cells.where(col("c") >= 2)
+          .select(lit(300 + 220 + 90).as("score"),
+            expr("c * (c - 1) DIV 2").as("w"))
+        cross.union(same)
+          .groupBy("score").agg(sum("w").as("n_pairs"))
           .orderBy("score")
       },
       Some("""
