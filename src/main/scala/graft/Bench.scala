@@ -15,6 +15,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Column's "Constructing trivially true equals predicate" WARN (self-
+    // join disambiguation on audited same-key joins) — same tail-budget
+    // hazard; the r8 tail still carried these lines ahead of the JSON.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.Column",
+      org.apache.logging.log4j.Level.ERROR)
     // warm the JVM + parquet footers once so per-query numbers measure the
     // plan, not first-touch classloading.
     Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())

@@ -80,7 +80,10 @@ object QueriesA2 extends QueryPack {
 
     // ---------------------------------------------------------------- q29
     // Calendar expansion (per-listing calendar harvest, operations/
-    // calendars.py): each order expands to its 7-day availability window
+    // calendars.py; CLI shell management/commands/scrape-listing-data.py:1
+    // is an arg-parse wrapper over the same task_update_calendar /
+    // task_get_listing_details path): each order expands to its 7-day
+    // availability window
     // — generate-series explode on integer epoch-days (exact in both
     // engines) — then a daily load curve. The fan-out is a cheap
     // generator (constant-range sequence), linear in rows × window.

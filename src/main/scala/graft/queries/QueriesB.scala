@@ -74,7 +74,9 @@ object QueriesB extends QueryPack {
         LIMIT 50""")),
 
     // ---------------------------------------------------------------- q22
-    // Quadtree refinement (op_estimate_listings_or_divide, grids.py:20):
+    // Quadtree refinement (op_estimate_listings_or_divide, grids.py:20;
+    // the quadkey→AOI-row CLI shell management/commands/
+    // create-test-area.py:1 seeds the same tile universe):
     // split tiles with count > threshold into children, z3 → z7.
     QDef("q22_grid_subdivide",
       (s, dir) => {

@@ -51,6 +51,21 @@ EXEMPT = {
     "q453_stump_boost", "q457_hub_matrix", "q616_label_prop",
 }
 
+# sf1 gate (round-9, r8 verdict #4): same ratio rule at the scale where
+# ratios measure plans, with a 5s floor (the sf1 suite carries ~10x the
+# data; sub-5s queries are still dominated by fixed job overhead).
+# Exemptions = the sf0.1 set (same adjudicated shapes, deeper data)
+# plus the SURVEY §5-adjudicated sf1 entries: q39 FastSS string-shuffle
+# vs DuckDB in-memory hash join (length-pregate and bounded-lev
+# alternatives measured slower, QueriesW.scala:39), q293 PQ ADC table
+# build (K contract grows with N, documented audit contract), q236/
+# q185/q577/q212 re-adjudicated each sweep. q214/q317 left the seed in
+# round 9 (census-quadratic rewrite, 17.8s -> 0.8s).
+EXEMPT_SF1 = EXEMPT | {
+    "q39_fuzzy_join", "q293_pq_adc_accuracy", "q236_degree_histogram",
+    "q185_triangles", "q577_naive_bayes", "q212_boilerplate",
+}
+
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
 base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_local.json"
 ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
@@ -66,6 +81,9 @@ sf_o = str(base.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
 if sf_b != sf_o:
     print(f"ERROR: sf mismatch bench={sf_b} baseline={sf_o}")
     sys.exit(1)
+if "sf1" in sf_b:  # the 10x mirror: scale the floor and exemptions
+    ABS_FLOOR_S = 5.0
+    EXEMPT = EXEMPT_SF1
 
 bq, oq = bench["queries"], base["queries"]
 shared = sorted(set(bq) & set(oq))
