@@ -23,7 +23,13 @@ object PortableHash {
     * matchable). Switched via SPARK_GRAFT_HASH=fast for profiling the
     * md5-portability tax; the driver's verify/bench never set it, so
     * every shipped number stays oracle-faithful. */
-  val profile: String = sys.env.getOrElse("SPARK_GRAFT_HASH", "portable")
+  def profile: String =
+    profileOverride.getOrElse(sys.env.getOrElse("SPARK_GRAFT_HASH", "portable"))
+
+  /** Test hook: env is fixed at JVM start, so fast-profile parity specs
+    * (StreamOpsSpec) flip the profile here around plan CONSTRUCTION —
+    * the profile is baked into each Column at build time. */
+  private[graft] var profileOverride: Option[String] = None
 
   /** Salted portable 60-bit hash of a string column. Native
     * [[graft.expressions.Md5Long]] — one md5 over the raw bytes, first

@@ -72,9 +72,15 @@ object PortableHll {
     }
     val v0 = M - nb
     val e = K / (zp + v0 * Scale)
+    // round exactly as Spark's Round expression (BigDecimal HALF_UP on the
+    // double's exact decimal value) — JVM math.round is floor(x+0.5),
+    // which can differ by 1 within an ulp of a .5 boundary (r8 advice)
+    def sparkRound(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     if (e < LinThreshold && v0 > 0)
-      math.round(M.toDouble * math.log(M.toDouble / v0))
-    else math.round(e)
+      sparkRound(M.toDouble * math.log(M.toDouble / v0))
+    else sparkRound(e)
   }
 
   /** DuckDB twin: a sub-select producing (<groupE AS groupName>, <outName>)

@@ -141,12 +141,15 @@ object QueriesEG extends QueryPack {
         // eager count + a two-window assembly job (r7 verdict: q535 was
         // floor-bound on two bounded agg passes).
         val pairs = {
-          // census generation: one imperative charAt pass per doc into a
-          // per-partition hash map (map-side pre-aggregation — the shuffle
-          // carries ≤ alphabet²×sources rows per partition). The previous
-          // explode(zip_with(split(text,''), …)) build allocated a struct
-          // per character position (r8: 10.9 s at sf1); same census, same
-          // NULL-padded last char, ASCII corpus so charAt == character.
+          // census generation: one imperative code-point pass per doc into
+          // a per-partition hash map (map-side pre-aggregation — the
+          // shuffle carries ≤ alphabet²×sources rows per partition). The
+          // previous explode(zip_with(split(text,''), …)) build allocated
+          // a struct per character position (r8: 10.9 s at sf1); same
+          // census, same NULL-padded last char. codePointAt (not charAt)
+          // so the census counts CHARACTERS like the oracle's split() —
+          // charAt would split surrogate pairs on non-BMP text (r8
+          // advice); identical on the ASCII corpus.
           val sc0 = s
           import sc0.implicits._
           d.select(col("source"), col("text")).as[(String, String)]
@@ -157,15 +160,16 @@ object QueriesEG extends QueryPack {
                 var i = 0
                 val n = text.length
                 while (i < n) {
-                  val k = (src, text.charAt(i).toInt,
-                    if (i + 1 < n) text.charAt(i + 1).toInt else -1)
+                  val cp = text.codePointAt(i)
+                  val j = i + Character.charCount(cp)
+                  val k = (src, cp, if (j < n) text.codePointAt(j) else -1)
                   m.update(k, m.getOrElse(k, 0L) + 1L)
-                  i += 1
+                  i = j
                 }
               }
               m.iterator.map { case ((src, a, b), cnt) =>
-                (src, a.toChar.toString,
-                  if (b < 0) null else b.toChar.toString, cnt)
+                (src, new String(Character.toChars(a)),
+                  if (b < 0) null else new String(Character.toChars(b)), cnt)
               }
             }
             .toDF("source", "c1", "c2", "n12p")

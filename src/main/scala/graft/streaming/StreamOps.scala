@@ -291,7 +291,12 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .withColumn("w_start",
         expr(s"CAST(unix_millis($tsCol) AS BIGINT) DIV $windowMs * $windowMs"))
-      .withColumn("h", PortableHash.md5Long(col(keyCol).cast("string")))
+      // key passed UNCAST so both hash profiles agree with the batch twin
+      // (PortableHll.approxDistinct): portable casts to string inside
+      // md5Long on both sides; fast (xxhash64) hashes the raw type on both
+      // sides. A stream-side cast here broke fast-profile batch↔stream
+      // equality for non-string keys (r8 advice).
+      .withColumn("h", PortableHash.md5Long(col(keyCol)))
       .select(col("w_start"),
         expr("CAST(h & 63 AS INT)").as("bucket"),
         expr("CAST(least(1 + bit_count(((h >> 6) & -(h >> 6)) - 1), 40) AS INT)")

@@ -18,6 +18,16 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *     are reported as info (`aggwin=`) so reviewers can audit them.
   */
 object PlanScan {
+
+  /** Queries whose FINAL frame is legitimately a LocalTableScan of
+    * driver-computed rows (bounded-census driver finishes; the heavy
+    * distributed stages ran as earlier jobs). Any query outside this
+    * list whose plan degenerates to a local relation is FLAGGED. */
+  val DriverFinish: Set[String] = Set(
+    "q463_als_rank1", "q506_bradley_terry", "q535_char_entropy",
+    "q597_bradley_terry", "q625_pca_top2",
+    // round-9 bounded-census finishes
+    "q561_katz_centrality", "q428_bipartite_audit")
   private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
     case s: QueryStageExec => Seq(s.plan)
@@ -70,15 +80,19 @@ object PlanScan {
           val cart = planStr.contains("CartesianProduct")
           // AQE propagates EmptyRelation through empty intermediate
           // results at tiny SFs — nothing executes, so "no codegen
-          // span" is vacuous there (q214/q216 at sf0.001). Same for the
-          // driver-finish pattern (q463/q506/q535/q597/q625): the FINAL
-          // plan is a LocalTableScan of driver-computed rows with no
-          // distributed source — the heavy Spark stages ran as earlier
-          // census jobs that PlanScan's per-query root can't see.
+          // span" is vacuous there (q214/q216 at sf0.001). The
+          // driver-finish pattern also ends in a LocalTableScan of
+          // driver-computed rows with no distributed source — the heavy
+          // Spark stages ran as earlier census jobs that PlanScan's
+          // per-query root can't see — but ONLY for the explicit
+          // allowlist below (r8 advice: a plan-shape heuristic would let
+          // a query that accidentally degenerates to a literal local
+          // plan slip through the codegen gate unflagged).
           val wsc = "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined ||
             planStr.contains("EmptyRelation") ||
             (planStr.contains("LocalTableScan") &&
-              !planStr.contains("Scan parquet"))
+              !planStr.contains("Scan parquet") &&
+              PlanScan.DriverFinish(name))
           val (rawWin, aggWin) = globalWindows(plan)
           aggTotal += aggWin
           if (cart || !wsc || rawWin > 0) {

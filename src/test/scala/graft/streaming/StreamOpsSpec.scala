@@ -331,4 +331,47 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("windowedApproxDistinct: batch equality holds under the FAST hash " +
+      "profile with non-string keys (r8 advice — the stream must not " +
+      "pre-cast the key)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val rows = (0 until 120).map(i => (ts(i % 20), (i * 6271 % 83).toLong))
+    // profile is baked into the Columns at plan-construction time, so the
+    // override must wrap BOTH the stream op and the batch twin
+    graft.functions.PortableHash.profileOverride = Some("fast")
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, Long)]
+      val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      val query = StreamOps
+        .windowedApproxDistinct(input.toDF().toDF("ts", "user_id"),
+          "ts", "user_id", 600000L, "2 hours")
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.WinDistinct], _: Long) =>
+          b.collect().foreach(w => latest(w.w_start) = w.approx_distinct)
+        }
+        .start()
+      try {
+        Seq(rows.slice(0, 37), rows.slice(37, 120)).foreach { b =>
+          input.addData(b: _*)
+          query.processAllAvailable()
+        }
+        val batch = graft.functions.PortableHll.approxDistinct(
+            rows.toDF("ts", "user_id")
+              .withColumn("w_start",
+                expr("CAST(unix_millis(ts) AS BIGINT) DIV 600000 * 600000")),
+            col("user_id"), Seq("w_start"), "ad")
+          .collect()
+          .map(r => r.getAs[Long]("w_start") -> r.getAs[Long]("ad")).toMap
+        assert(batch.nonEmpty && batch.keySet == latest.keySet)
+        batch.foreach { case (w, ad) =>
+          assert(latest(w) == ad, s"window $w: stream ${latest(w)} batch $ad")
+        }
+      } finally query.stop()
+    } finally graft.functions.PortableHash.profileOverride = None
+  }
 }
