@@ -187,6 +187,11 @@ object QueriesBA extends QueryPack {
           .select(col("doc_id"), col("source"),
             expr("concat_ws(' ', slice(ws, i, 5))").as("sh"))
           .distinct()
+        // cached: dfreq and the df join-back both read sh — uncached
+        // that is two explode+distinct passes over every shingle
+        // (r8: 6.3 s at sf1); eager count because both subtrees share
+        // the final job
+        sh.cache(); sh.count()
         val dfreq = sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
         sh.join(dfreq, "sh")
           .groupBy("doc_id", "source")

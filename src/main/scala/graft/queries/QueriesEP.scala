@@ -229,6 +229,10 @@ object QueriesEP extends QueryPack {
             TextFunctions.words(col("text")).as("w"))
         val dw = docs.select(col("doc_id"), col("lang"),
           explode(col("w")).as("word"))
+        // cached: vocab, wc and sums each read dw — uncached that is
+        // three full tokenizer passes over the corpus (r8: 6.0 s at sf1);
+        // eager count because wc and sums share one job downstream
+        dw.cache(); dw.count()
         // deterministic top-200 vocabulary
         val vocab = dw.groupBy("word").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("word")).limit(200)

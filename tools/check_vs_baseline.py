@@ -57,13 +57,14 @@ EXEMPT = {
 # Exemptions = the sf0.1 set (same adjudicated shapes, deeper data)
 # plus the SURVEY §5-adjudicated sf1 entries: q39 FastSS string-shuffle
 # vs DuckDB in-memory hash join (length-pregate and bounded-lev
-# alternatives measured slower, QueriesW.scala:39), q293 PQ ADC table
-# build (K contract grows with N, documented audit contract), q236/
-# q185/q577/q212 re-adjudicated each sweep. q214/q317 left the seed in
-# round 9 (census-quadratic rewrite, 17.8s -> 0.8s).
+# alternatives measured slower, QueriesW.scala:39) and q293 PQ ADC
+# table build (K contract grows with N, documented audit contract).
+# Left the seed in round 9: q214/q317 (census-quadratic rewrite,
+# 17.8s -> 0.8s), q236 (collect_set pair gen, 5.7 -> 2.6s), q577
+# (cached dw, 6.0 -> 4.4s), q212 (cached shingles, 6.3 -> 3.2s),
+# q185/q478 (re-measured under the 5s floor after the r9 rewrites).
 EXEMPT_SF1 = EXEMPT | {
-    "q39_fuzzy_join", "q293_pq_adc_accuracy", "q236_degree_histogram",
-    "q185_triangles", "q577_naive_bayes", "q212_boilerplate",
+    "q39_fuzzy_join", "q293_pq_adc_accuracy",
 }
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
