@@ -123,7 +123,13 @@ object QueriesBF extends QueryPack {
     QDef("q232_threshold_sweep",
       (s, dir) => {
         // q33's blocked 3-gram Jaccard pipeline, re-aggregated as a
-        // threshold-sensitivity report instead of top-k pairs
+        // threshold-sensitivity report. The r8 plan evaluated Jaccard on
+        // EVERY in-block pair (O(Σ block²) with fixed (lang, band)
+        // blocks — 20.8 s at sf1, quadratic at 100 TB), but only the
+        // thresholded counts need pair identification: n_pairs is pure
+        // block-size arithmetic, and every pair with jac_bp ≥ 2000 ⟺
+        // jac ≥ 1/5 is provably generated by one q33 PPJoin rung at
+        // t = 1/5 (prefix+size+positional filters, exact verify).
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 3)
           .select(col("lang"), expr("n_chars DIV 50").as("blk"), col("doc_id"),
@@ -131,19 +137,53 @@ object QueriesBF extends QueryPack {
           .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
           .groupBy("lang", "blk", "doc_id")
           .agg(sort_array(collect_set(col("h"))).as("g"))
+          .withColumn("sz", size(col("g")).cast("bigint"))
           .cache()
-        docs.count() // eager: both self-join sides read the cache
-        val a = docs.select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("g").as("g_a"))
-        val b = docs.select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("g").as("g_b"))
-        a.join(b, Seq("lang", "blk")).filter(col("id_a") < col("id_b"))
-          .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
-          .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
+        docs.count() // eager: census, ranked build, and both verify sides
+        val nPairs = docs.groupBy("lang", "blk").agg(count(lit(1)).as("n"))
           .groupBy("lang")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("jac_bp") >= 2000, 1L).otherwise(0L)).cast("bigint").as("ge_2000"),
+          .agg(sum(expr("n * (n - 1) DIV 2")).cast("bigint").as("n_pairs"))
+          .where(col("n_pairs") > 0) // langs with no in-block pair emit no row
+        val rk = docs.select(explode(col("g")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val ranked = docs
+          .select(col("lang"), col("blk"), col("doc_id"), col("sz"),
+            explode(col("g")).as("h"))
+          .join(broadcast(rk), "h")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")))
+          .select("lang", "blk", "doc_id", "sz", "h", "rn")
+        val (p, q) = (1L, 5L)
+        val pre = ranked.where(
+          col("rn") <= col("sz") - expr(s"($p*sz + ${q - 1}) DIV $q") + 1)
+        val cand = pre.as("a").join(pre.as("b"),
+            col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+              col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.sz") * q >= col("a.sz") * p &&
+              col("a.sz") * q >= col("b.sz") * p &&
+              (lit(1L) + least(col("a.sz") - col("a.rn"),
+                col("b.sz") - col("b.rn"))) * (p + q) >=
+                (col("a.sz") + col("b.sz")) * p)
+          .select(col("a.lang").as("lang"), col("a.doc_id").as("id_a"),
+            col("b.doc_id").as("id_b"))
+          .distinct()
+        val ge = cand
+          .join(docs.select(col("doc_id").as("id_a"), col("g").as("g_a"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("g").as("g_b"),
+            col("sz").as("sz_b")), Seq("id_b"))
+          .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
+          .where(col("inter") * (p + q) >= (col("sz_a") + col("sz_b")) * p)
+          .withColumn("jac_bp",
+            Dedup.jaccardBpFromInter(col("inter"), "g_a", "g_b"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("bigint").as("ge_2000"),
             sum(when(col("jac_bp") >= 4000, 1L).otherwise(0L)).cast("bigint").as("ge_4000"),
             sum(when(col("jac_bp") >= 6000, 1L).otherwise(0L)).cast("bigint").as("ge_6000"),
             sum(when(col("jac_bp") >= 8000, 1L).otherwise(0L)).cast("bigint").as("ge_8000"))
+        nPairs.join(ge, Seq("lang"), "left")
+          .na.fill(0L, Seq("ge_2000", "ge_4000", "ge_6000", "ge_8000"))
+          .select("lang", "n_pairs", "ge_2000", "ge_4000", "ge_6000", "ge_8000")
           .orderBy("lang")
       },
       Some(s"""
