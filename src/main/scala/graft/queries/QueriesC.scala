@@ -129,7 +129,7 @@ object QueriesC extends QueryPack {
         val docs = shingled(s, dir)
         val pairs = Dedup.lshCandidates(docs.select("doc_id", "sig"),
           "doc_id", "sig", nHashes = 6, bandSize = 2)
-        Components.labelPropagation(pairs, "id_a", "id_b")
+        Components.connectedComponents(pairs, "id_a", "id_b")
           .groupBy(col("lbl").as("cluster"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("id")).as("keep_doc"), max(col("id")).as("last_doc"))

@@ -159,20 +159,21 @@ object QueriesH extends QueryPack {
         val docs = QueriesC.shingled(s, dir)
         val pairs = Dedup.lshCandidates(docs.select("doc_id", "sig"),
           "doc_id", "sig", nHashes = 6, bandSize = 2)
-        val labels = Components.labelPropagation(pairs, "id_a", "id_b")
+        val labels = Components.connectedComponents(pairs, "id_a", "id_b")
         val quality = qualityProjected(t(s, dir, "documents"))
         val member = labels.join(quality, labels("id") === quality("doc_id"))
           .select(col("lbl").as("cluster"), col("doc_id"), col("quality_bp"), col("n_chars"))
-        val w = Window.partitionBy("cluster").orderBy(col("quality_bp").desc, col("doc_id"))
-        val agg = member.groupBy("cluster").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("bigint").as("total_chars"))
-        val keep = member.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("cluster"), col("doc_id").as("keep_doc"),
-            col("quality_bp").as("keep_quality_bp"), col("n_chars").as("keep_chars"))
-        agg.join(keep, "cluster")
-          .select(col("cluster"), col("n_docs"), col("keep_doc"), col("keep_quality_bp"),
-            (col("total_chars") - col("keep_chars")).as("drop_chars"))
+        // one aggregation instead of window + separate agg + join: the
+        // keeper (quality desc, doc_id asc) is min of a (-quality, doc)
+        // struct — lexicographic struct ordering, single shuffle
+        member.groupBy("cluster").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("bigint").as("total_chars"),
+            min(struct((-col("quality_bp")).as("nq"), col("doc_id").as("d"),
+              col("quality_bp").as("q"), col("n_chars").as("nc"))).as("k"))
+          .select(col("cluster"), col("n_docs"), col("k.d").as("keep_doc"),
+            col("k.q").as("keep_quality_bp"),
+            (col("total_chars") - col("k.nc")).as("drop_chars"))
           .orderBy("cluster")
       },
       Some {
