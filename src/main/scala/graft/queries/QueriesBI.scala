@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables.t
 import graft.dedup.Dedup
 import graft.functions.{PortableHash, PortableHll}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 coverage additions, part 54 — restatement accounting, SLA
@@ -116,16 +117,42 @@ object QueriesBI extends QueryPack {
           .cache()
         candJac.count()
         // block-bounded exact truth (q33's blocking over the SAME word
-        // 3-gram sets): pairs in the same (lang, length-band) block
-        val da = docs.join(meta, "doc_id")
-          .select(col("lang"), col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val db = docs.join(meta, "doc_id")
-          .select(col("lang"), col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        val truth = da.join(db, Seq("lang", "blk"))
-          .where(col("id_a") < col("id_b"))
+        // 3-gram sets): pairs in the same (lang, length-band) block.
+        // PPJoin single rung at t = 3/5 (jac_bp ≥ 6000 ⟺ jac ≥ 3/5)
+        // instead of all in-block pairs — the q232 fix; prefix + size +
+        // positional filters are lossless for ≥ t, exact verify after.
+        val blocked = docs.join(meta, "doc_id")
+          .select(col("lang"), col("blk"), col("doc_id"), col("sh"),
+            size(col("sh")).cast("bigint").as("sz"))
+          .cache()
+        blocked.count() // rank build, candidate sides, verify sides
+        val rk = blocked.select(explode(col("sh")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val ranked = blocked
+          .select(col("lang"), col("blk"), col("doc_id"), col("sz"),
+            explode(col("sh")).as("h"))
+          .join(broadcast(rk), "h")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "h")))
+        val (p, q) = (3L, 5L)
+        val pre = ranked.where(
+          col("rn") <= col("sz") - expr(s"($p*sz + ${q - 1}) DIV $q") + 1)
+        val truth = pre.as("a").join(pre.as("b"),
+            col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+              col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.sz") * q >= col("a.sz") * p &&
+              col("a.sz") * q >= col("b.sz") * p &&
+              (lit(1L) + least(col("a.sz") - col("a.rn"),
+                col("b.sz") - col("b.rn"))) * (p + q) >=
+                (col("a.sz") + col("b.sz")) * p)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+          .join(blocked.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(blocked.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+            col("sz").as("sz_b")), Seq("id_b"))
           .withColumn("inter", Dedup.sortedIntersectCount("sh_a", "sh_b"))
-          .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "sh_a", "sh_b"))
-          .where(col("jac_bp") >= 6000)
+          .where(col("inter") * (p + q) >= (col("sz_a") + col("sz_b")) * p)
           .select("id_a", "id_b")
           .cache()
         truth.count()
