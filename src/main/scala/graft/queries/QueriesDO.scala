@@ -46,6 +46,11 @@ object QueriesDO extends QueryPack {
           .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p",
             "CAST(l_quantity AS BIGINT) AS q",
             "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd")
+          // graceful null degrade (NullInputSpec contract): a nulled
+          // measure drops its point, exactly as the r8 plan's null-false
+          // join predicates did — and the driver census collect below
+          // reads primitives, which must never see null
+          .where(col("p").isNotNull && col("q").isNotNull && col("dd").isNotNull)
           .groupBy("p", "q", "dd").agg(count(lit(1)).cast("long").as("m"))
         pts.cache()
         // A point a is dominated iff ∃b: b.p <= a.p, b.q >= a.q,
