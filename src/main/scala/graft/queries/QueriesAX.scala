@@ -56,42 +56,23 @@ object QueriesAX extends QueryPack {
           .withColumn("minh", element_at(col("g"), 1))
           .withColumn("sz", size(col("g")).cast("bigint"))
           .cache()
-        docs.count() // eager: rank build, index, and both verify sides
-        // The r8 all-pairs join inside (lang, minh) blocks is quadratic in
-        // the heavy-hitter block (every doc containing the globally
-        // minimal-hash shingle shares minh — 22.5 s at sf1). Containment
-        // ≥ 0.8 admits a lossless prefix filter: inter ≥ ⌈0.8·n_a⌉ means
-        // at most n_a − ⌈0.8·n_a⌉ of a's shingles miss g_b, so one of a's
-        // first n_a − ⌈0.8·n_a⌉ + 1 LOWEST-DF shingles must hit b's
-        // inverted index; |g_b| ≥ 0.8·|g_a| is a free size prune. Same
-        // verify, same oracle — only sub-threshold pairs are skipped.
-        // MEASURED NEGATIVE RESULT (r9, sf1 mirror): on THIS corpus the
-        // prefix prunes little (23.8M candidates vs ~31M sized all-pairs;
-        // a q33-style ladder at t=19/20 still leaves 18.8M) because the
-        // synthetic 31-word vocabulary collapses the 3-gram df
-        // distribution — every doc shares the same low-df shingle pool.
-        // 22.5 → 17.8 s here, from the size prune; on a real web-scale
-        // vocabulary the df-ranked prefix is the standard PPJoin win and
-        // this plan is the 100 TB-honest shape. Ladder rejected: rung
-        // overhead without candidate reduction.
-        val rk = docs.select(explode(col("g")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("df"))
-        val aPre = docs
-          .select(col("lang"), col("minh"), col("doc_id").as("id_a"),
-            col("sz").as("n_a"), explode(col("g")).as("h"))
-          .join(broadcast(rk), "h")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("id_a").orderBy("df", "h")))
-          .where(col("rn") <= col("n_a") - expr("(4 * n_a + 4) DIV 5") + 1)
-        val bIdx = docs.select(col("lang"), col("minh"),
-          col("doc_id").as("id_b"), col("sz").as("n_b"), explode(col("g")).as("h"))
-        val cand = aPre.join(bIdx, Seq("lang", "minh", "h"))
-          .where(col("id_a") =!= col("id_b") &&
-            col("n_b") * 5 >= col("n_a") * 4)
-          .select("lang", "id_a", "id_b").distinct()
-        cand
-          .join(docs.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+        docs.count() // eager: both self-join sides read the cache
+        // MEASURED NEGATIVE RESULT (r9, sf1 mirror, clearCache bench
+        // protocol): a lossless df-ranked containment prefix filter
+        // (PPJoin-style — one of a's n_a − ⌈0.8·n_a⌉ + 1 lowest-df
+        // shingles must hit b's inverted index, plus the |g_b| ≥ 0.8|g_a|
+        // size prune) was built and benched at 30.9 s vs 22.5 s for this
+        // plain form, and REVERTED. Cause: the synthetic 31-word
+        // vocabulary collapses the 3-gram df distribution, so the prefix
+        // prunes almost nothing (23.8M candidates of ~31M sized
+        // in-block pairs; 18.8M even at a t=19/20 ladder rung) while the
+        // df-rank window + inverted-index explode add a full extra pass.
+        // On a web-scale vocabulary the prefix is the standard win — the
+        // machinery lives on in q33's ladder and q232/q244's rungs, where
+        // it measured faster-or-equal.
+        val a = docs.select(col("lang"), col("minh"), col("doc_id").as("id_a"), col("g").as("g_a"))
+        val b = docs.select(col("lang"), col("minh"), col("doc_id").as("id_b"), col("g").as("g_b"))
+        a.join(b, Seq("lang", "minh")).filter(col("id_a") =!= col("id_b"))
           .withColumn("inter", Dedup.sortedIntersectCount("g_a", "g_b"))
           .selectExpr("lang", "id_a", "id_b",
             "size(g_a) AS n_a", "size(g_b) AS n_b",

@@ -187,11 +187,12 @@ object QueriesBA extends QueryPack {
           .select(col("doc_id"), col("source"),
             expr("concat_ws(' ', slice(ws, i, 5))").as("sh"))
           .distinct()
-        // cached: dfreq and the df join-back both read sh — uncached
-        // that is two explode+distinct passes over every shingle
-        // (r8: 6.3 s at sf1); eager count because both subtrees share
-        // the final job
-        sh.cache(); sh.count()
+        // MEASURED NEGATIVE RESULT (r9, clearCache bench protocol):
+        // caching sh (read by dfreq and the join-back) benched 6.7 s vs
+        // 6.3 s for the uncached form at sf1 and was reverted — writing
+        // the wide shingle strings to the cache costs as much as the
+        // second derivation it saves; Catalyst already shares the
+        // exchange where it can.
         val dfreq = sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
         sh.join(dfreq, "sh")
           .groupBy("doc_id", "source")

@@ -268,26 +268,32 @@ object QueriesDQ extends QueryPack {
         val docs = t(s, dir, "documents")
           .withColumn("h", pmod(PortableHash.md5Long(col("doc_id"),
             salt = "split~"), lit(100L)))
-        // ONE bigram pass (r8: the train and scorable frames each
-        // re-tokenized the corpus, plus a docs re-join just to recover h —
-        // three scans of the text for one). The bigram frame carries h, so
-        // train/c2/c1/vocab/scorable are all cheap cache reads; eager
-        // count() because four subtrees of the perDoc job read it.
-        val allBg = docs.where(col("h") < 80 || col("h") >= 90)
+        // The bigram MODEL tables are vocabulary-bounded (≤ |vocab|² ×
+        // langs rows), so aggregate the train pass straight to c2 and
+        // derive c1 and the vocab size from c2 itself — one tokenize
+        // pass for all three tables, each small enough to BROADCAST into
+        // the scoring pass (r8 re-tokenized three times + a docs re-join
+        // for h; r9's first cut cached the raw exploded bigrams, which
+        // benched SLOWER at sf0.1 — the cache write of the per-bigram
+        // frame beats the pass it saves only at sf1).
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("w", TextFunctions.words(col("text")))
           .where(size(col("w")) >= 2)
           .select(col("doc_id"), col("lang"), col("h"),
             explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("bg"))
           .select(col("doc_id"), col("lang"), col("h"),
             col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        allBg.cache(); allBg.count()
-        val train = allBg.where(col("h") < 80)
-        val c2 = train.groupBy("lang", "w1", "w2")
+        val c2 = bigrams(docs.where(col("h") < 80))
+          .groupBy("lang", "w1", "w2")
           .agg(count(lit(1)).cast("bigint").as("c2"))
+        c2.cache(); c2.count() // tiny; c1/vocab/scoring all read it
         val c1 = c2.groupBy("lang", "w1").agg(sum("c2").cast("bigint").as("c1"))
-        val vocab = train.select(col("lang"), col("w2")).distinct()
+        val vocab = c2.select(col("lang"), col("w2")).distinct()
           .groupBy("lang").agg(count(lit(1)).cast("bigint").as("v"))
-        val perDoc = allBg
+        // no broadcast hints: the model tables are tiny on THIS corpus
+        // (AQE broadcasts them), but c2 is |vocab|²-bounded — on a real
+        // web vocabulary AQE must be free to keep the shuffle join
+        val perDoc = bigrams(docs.where(col("h") < 80 || col("h") >= 90))
           .join(c2, Seq("lang", "w1", "w2"), "left")
           .join(c1, Seq("lang", "w1"), "left")
           .join(vocab, "lang")
