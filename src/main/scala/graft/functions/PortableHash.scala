@@ -28,8 +28,11 @@ object PortableHash {
 
   /** Test hook: env is fixed at JVM start, so fast-profile parity specs
     * (StreamOpsSpec) flip the profile here around plan CONSTRUCTION —
-    * the profile is baked into each Column at build time. */
-  private[graft] var profileOverride: Option[String] = None
+    * the profile is baked into each Column at build time. Volatile so a
+    * concurrently-building session sees the write; the contract is still
+    * single-threaded-test-only (set → build plans → restore, no parallel
+    * suites touching it). */
+  @volatile private[graft] var profileOverride: Option[String] = None
 
   /** Salted portable 60-bit hash of a string column. Native
     * [[graft.expressions.Md5Long]] — one md5 over the raw bytes, first

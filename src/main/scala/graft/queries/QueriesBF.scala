@@ -149,7 +149,10 @@ object QueriesBF extends QueryPack {
         val ranked = docs
           .select(col("lang"), col("blk"), col("doc_id"), col("sz"),
             explode(col("g")).as("h"))
-          .join(broadcast(rk), "h")
+          // no broadcast hint: rk is the shingle document-frequency table
+          // and grows with vocabulary — AQE broadcasts it while small and
+          // keeps a shuffle join on a real web corpus (q-bigram precedent)
+          .join(rk, "h")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "h")))
           .select("lang", "blk", "doc_id", "sz", "h", "rn")

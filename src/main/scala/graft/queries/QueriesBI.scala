@@ -131,7 +131,9 @@ object QueriesBI extends QueryPack {
         val ranked = blocked
           .select(col("lang"), col("blk"), col("doc_id"), col("sz"),
             explode(col("sh")).as("h"))
-          .join(broadcast(rk), "h")
+          // no broadcast hint: rk grows with vocabulary — let AQE decide
+          // (broadcast while small, shuffle join on a real web corpus)
+          .join(rk, "h")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "h")))
         val (p, q) = (3L, 5L)

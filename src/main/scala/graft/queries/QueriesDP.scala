@@ -62,84 +62,99 @@ object QueriesDP extends QueryPack {
           .distinct()
         val types = ev.select("event_type").distinct()
           .collect().map(_.getString(0)).sorted
-        val bitOf = types.zipWithIndex.toMap
-        val maskExpr = types.map(tp =>
-          when(col("event_type") === tp, lit(1L << bitOf(tp))).otherwise(0L))
-          .reduce(_ + _) // distinct types per (u,h): sum of powers == OR
-        val cells = ev.groupBy("u", "h")
-          .agg(sum(maskExpr).cast("long").as("mask"))
-        cells.cache()
-        val nBits = types.length
-        // per-hour mask census (≤ hours × 2^|types| rows, bounded) →
-        // driver table S(h, m) = #users at h whose mask intersects m
-        val census = cells.groupBy("h", "mask").agg(count(lit(1)).as("c"))
-          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
-        val byHour = census.groupMap(_._1._1)(kv => (kv._1._2, kv._2))
-        val sTab = byHour.flatMap { case (h, gs) =>
-          (1L until (1L << nBits)).map { m =>
-            (h * 64 + m) -> gs.collect { case (g, c) if (g & m) != 0 => c }.sum
+        // The h*64+mask packing of sTab keys assumes the (by-construction
+        // 5-value) type domain stays under 6 bits; a wider domain would
+        // silently collide keys, so fail loudly instead.
+        require(types.length <= 6,
+          s"q471 mask packing supports <=6 event types, got ${types.length}")
+        if (types.isEmpty) {
+          // empty events: no hubs, empty board — the expr-DSL below cannot
+          // build 0-bit masks (EmptyInputSpec path)
+          Seq.empty[(Long, Long, Long, Long)]
+            .toDF("src", "reach_s", "reach_t", "temporal_bp")
+        } else {
+          val bitOf = types.zipWithIndex.toMap
+          val maskExpr = types.map(tp =>
+            when(col("event_type") === tp, lit(1L << bitOf(tp))).otherwise(0L))
+            .foldLeft(lit(0L))(_ + _) // distinct types per (u,h): sum == OR
+          val cells = ev.groupBy("u", "h")
+            .agg(sum(maskExpr).cast("long").as("mask"))
+          cells.cache()
+          val nBits = types.length
+          // per-hour mask census (≤ hours × 2^|types| rows, bounded) →
+          // driver table S(h, m) = #users at h whose mask intersects m
+          val census = cells.groupBy("h", "mask").agg(count(lit(1)).as("c"))
+            .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+          val byHour = census.groupMap(_._1._1)(kv => (kv._1._2, kv._2))
+          val sTab = byHour.flatMap { case (h, gs) =>
+            (1L until (1L << nBits)).map { m =>
+              (h * 64 + m) -> gs.collect { case (g, c) if (g & m) != 0 => c }.sum
+            }
           }
+          val sLit = typedLit(sTab)
+          // deg(u) = Σ_h (S(h, mask_u) − 1): one map-side lookup per cell
+          // row, no pair materialization; = |distinct (v,h)| exactly
+          val hubRows = cells
+            .withColumn("nbr", element_at(sLit, col("h") * 64 + col("mask")) - 1)
+            .groupBy("u").agg(sum("nbr").as("deg"))
+            // zero-degree users never appear in the oracle's pair-derived
+            // hub set — keep them out of the top-20 on sparse data too
+            .where(col("deg") > 0)
+            .orderBy(col("deg").desc, col("u")).limit(20)
+            .select(col("u").as("src")).collect().map(_.getLong(0))
+          val prof = broadcast(
+            cells.where(col("u").isin(hubRows: _*))
+              .select(col("u").as("hub"), col("h").as("ph"),
+                col("mask").as("pmask")))
+          // hub→mid co-presence hours (the e1 frame): linear in cells
+          val q0 = cells.join(prof,
+              col("h") === col("ph") &&
+                (col("mask").bitwiseAND(col("pmask")) =!= 0L) &&
+                col("u") =!= col("hub"))
+            .groupBy(col("hub"), col("u").as("mid"))
+            .agg(sort_array(collect_set(col("h"))).as("h1s"))
+          // mid qualification per hour: temporal needs an h1 in
+          // [h2−24, h2), static one in [h2−24, h2+24]
+          val qual = q0.join(cells.select(col("u").as("mid"),
+              col("h").as("h2"), col("mask").as("m2")), "mid")
+            .withColumn("qt", expr("exists(h1s, x -> x >= h2 - 24 AND x < h2)"))
+            .where(expr("exists(h1s, x -> abs(h2 - x) <= 24)"))
+            .select("hub", "mid", "h2", "m2", "qt")
+          qual.cache(); qual.count() // read by the cnt agg AND the own-join
+          // per-(hub, h2, bit) qualifying-mid counts — bounded ≤ 20·|hours|
+          val bitCnt = (b: Int) => (col("m2").bitwiseAND(lit(1L << b)) =!= 0L)
+          val cntCols = (0 until nBits).flatMap(b => Seq(
+            sum(when(col("qt") && bitCnt(b), 1L).otherwise(0L)).as(s"t$b"),
+            sum(when(bitCnt(b), 1L).otherwise(0L)).as(s"s$b")))
+          val cnts = qual.groupBy("hub", "h2")
+            .agg(cntCols.head, cntCols.tail: _*)
+          // score every (dst, h2) cell against the broadcast counts; the
+          // dst's OWN qualifying-mid contribution (mask == m2 == its cell
+          // mask) is removed by raising the threshold to 2 on its bits
+          val hitExpr = (pfx: String, ownCol: String) =>
+            (0 until nBits).map(b =>
+              s"((mask & ${1L << b}) != 0 AND $pfx$b >= (CASE WHEN $ownCol THEN 2 ELSE 1 END))")
+              .mkString(" OR ")
+          val scored = cells.withColumnRenamed("h", "h2")
+            .join(broadcast(cnts), Seq("h2"))
+            .where(col("u") =!= col("hub"))
+            .join(qual.selectExpr("hub", "mid AS u", "h2",
+                "qt AS own_t", "true AS own_s"),
+              Seq("hub", "u", "h2"), "left")
+            .withColumn("own_t", coalesce(col("own_t"), lit(false)))
+            .withColumn("own_s", coalesce(col("own_s"), lit(false)))
+            .withColumn("t_hit", expr(hitExpr("t", "own_t")))
+            .withColumn("s_hit", expr(hitExpr("s", "own_s")))
+          val reaches = scored.groupBy("hub").agg(
+            countDistinct(when(col("t_hit"), col("u"))).cast("long").as("reach_t"),
+            countDistinct(when(col("s_hit"), col("u"))).cast("long").as("reach_s"))
+          hubRows.sorted.toSeq.toDF("src")
+            .join(reaches.withColumnRenamed("hub", "src"), Seq("src"), "left")
+            .selectExpr("src", "coalesce(reach_s, 0) AS reach_s",
+              "coalesce(reach_t, 0) AS reach_t",
+              "CASE WHEN coalesce(reach_s, 0) > 0 THEN coalesce(reach_t, 0) * 10000 DIV coalesce(reach_s, 0) ELSE -1 END AS temporal_bp")
+            .orderBy("src")
         }
-        val sLit = typedLit(sTab)
-        // deg(u) = Σ_h (S(h, mask_u) − 1): one map-side lookup per cell
-        // row, no pair materialization; = |distinct (v,h)| exactly
-        val hubRows = cells
-          .withColumn("nbr", element_at(sLit, col("h") * 64 + col("mask")) - 1)
-          .groupBy("u").agg(sum("nbr").as("deg"))
-          .orderBy(col("deg").desc, col("u")).limit(20)
-          .select(col("u").as("src")).collect().map(_.getLong(0))
-        val prof = broadcast(
-          cells.where(col("u").isin(hubRows: _*))
-            .select(col("u").as("hub"), col("h").as("ph"),
-              col("mask").as("pmask")))
-        // hub→mid co-presence hours (the e1 frame): linear in cells
-        val q0 = cells.join(prof,
-            col("h") === col("ph") &&
-              (col("mask").bitwiseAND(col("pmask")) =!= 0L) &&
-              col("u") =!= col("hub"))
-          .groupBy(col("hub"), col("u").as("mid"))
-          .agg(sort_array(collect_set(col("h"))).as("h1s"))
-        // mid qualification per hour: temporal needs an h1 in
-        // [h2−24, h2), static one in [h2−24, h2+24]
-        val qual = q0.join(cells.select(col("u").as("mid"),
-            col("h").as("h2"), col("mask").as("m2")), "mid")
-          .withColumn("qt", expr("exists(h1s, x -> x >= h2 - 24 AND x < h2)"))
-          .where(expr("exists(h1s, x -> abs(h2 - x) <= 24)"))
-          .select("hub", "mid", "h2", "m2", "qt")
-        qual.cache(); qual.count() // read by the cnt agg AND the own-join
-        // per-(hub, h2, bit) qualifying-mid counts — bounded ≤ 20·|hours|
-        val bitCnt = (b: Int) => (col("m2").bitwiseAND(lit(1L << b)) =!= 0L)
-        val cntCols = (0 until nBits).flatMap(b => Seq(
-          sum(when(col("qt") && bitCnt(b), 1L).otherwise(0L)).as(s"t$b"),
-          sum(when(bitCnt(b), 1L).otherwise(0L)).as(s"s$b")))
-        val cnts = qual.groupBy("hub", "h2")
-          .agg(cntCols.head, cntCols.tail: _*)
-        // score every (dst, h2) cell against the broadcast counts; the
-        // dst's OWN qualifying-mid contribution (mask == m2 == its cell
-        // mask) is removed by raising the threshold to 2 on its bits
-        val hitExpr = (pfx: String, ownCol: String) =>
-          (0 until nBits).map(b =>
-            s"((mask & ${1L << b}) != 0 AND $pfx$b >= (CASE WHEN $ownCol THEN 2 ELSE 1 END))")
-            .mkString(" OR ")
-        val scored = cells.withColumnRenamed("h", "h2")
-          .join(broadcast(cnts), Seq("h2"))
-          .where(col("u") =!= col("hub"))
-          .join(qual.selectExpr("hub", "mid AS u", "h2",
-              "qt AS own_t", "true AS own_s"),
-            Seq("hub", "u", "h2"), "left")
-          .withColumn("own_t", coalesce(col("own_t"), lit(false)))
-          .withColumn("own_s", coalesce(col("own_s"), lit(false)))
-          .withColumn("t_hit", expr(hitExpr("t", "own_t")))
-          .withColumn("s_hit", expr(hitExpr("s", "own_s")))
-        val reaches = scored.groupBy("hub").agg(
-          countDistinct(when(col("t_hit"), col("u"))).cast("long").as("reach_t"),
-          countDistinct(when(col("s_hit"), col("u"))).cast("long").as("reach_s"))
-        hubRows.sorted.toSeq.toDF("src")
-          .join(reaches.withColumnRenamed("hub", "src"), Seq("src"), "left")
-          .selectExpr("src", "coalesce(reach_s, 0) AS reach_s",
-            "coalesce(reach_t, 0) AS reach_t",
-            "CASE WHEN coalesce(reach_s, 0) > 0 THEN coalesce(reach_t, 0) * 10000 DIV coalesce(reach_s, 0) ELSE -1 END AS temporal_bp")
-          .orderBy("src")
       },
       Some("""
         WITH cells AS (

@@ -16,6 +16,7 @@ Usage: python3 tools/check_vs_baseline.py [BENCH_local.json] \
 Exit 1 when a flagged query exists, 0 otherwise.
 """
 import json
+import re
 import statistics
 import sys
 
@@ -95,7 +96,8 @@ sf_o = str(base.get("sf", "")).rstrip("/").rsplit("/", 1)[-1]
 if sf_b != sf_o:
     print(f"ERROR: sf mismatch bench={sf_b} baseline={sf_o}")
     sys.exit(1)
-if "sf1" in sf_b:  # the 10x mirror: scale the floor and exemptions
+# exact sf1 token (not sf10/sf12): the 10x mirror scales floor + exemptions
+if re.search(r"sf1(?![0-9.])", sf_b):
     ABS_FLOOR_S = 5.0
     EXEMPT = EXEMPT_SF1
 
