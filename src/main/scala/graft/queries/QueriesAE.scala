@@ -106,26 +106,41 @@ object QueriesAE extends QueryPack {
 
     QDef("q140_cooccurrence",
       (s, dir) => {
-        val lp = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct().cache()
-        lp.count()
-        val nOrders = lp.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-        val supp = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
-        val pairs = lp.select(col("ok"), col("l_partkey").as("p1"))
-          .join(lp.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
-          .where(col("p1") < col("p2"))
+        // Three jobs total (the r9 distinct→self-join + two broadcast
+        // builds ran 5-6 at ~0.3s floor each — 2.1-3.2s window-dependent,
+        // a rotating gate flag): (1) one shuffle builds the per-order
+        // basket (collect_set dedups in the agg — no separate distinct)
+        // and its eager count IS the n_orders scalar; (2) the ≤7-part
+        // basket yields its ≤21 ordered pairs MAP-SIDE from the sorted
+        // array, TakeOrdered15 to the driver; (3) support counts for the
+        // ≤30 parts those pairs name — a bounded census. Lift assembles
+        // driver-side in the oracle's exact double-op order.
+        val sc3 = s
+        import sc3.implicits._
+        val baskets = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .cache()
+        val nOrders = baskets.count() // eager cache AND the n_orders scalar
+        val top = baskets.select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""))
+            .as("pr"))
+          .select(col("pr.p1"), col("pr.p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
-        pairs.orderBy(col("support").desc, col("p1"), col("p2")).limit(15)
-          .join(broadcast(supp.withColumnRenamed("l_partkey", "p1")
-            .withColumnRenamed("sup", "sup_a")), "p1")
-          .join(broadcast(supp.withColumnRenamed("l_partkey", "p2")
-            .withColumnRenamed("sup", "sup_b")), "p2")
-          .crossJoin(broadcast(nOrders))
-          .selectExpr("p1", "p2", "support", "sup_a", "sup_b",
-            """CAST(floor(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
-               / CAST(sup_a AS DOUBLE) / CAST(sup_b AS DOUBLE)
-               * 1000000) AS BIGINT) AS lift_micro""")
-          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .orderBy(col("support").desc, col("p1"), col("p2")).limit(15)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val parts = top.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+        val sup = baskets.select(explode(col("ps")).as("p"))
+          .where(col("p").isin(parts: _*))
+          .groupBy("p").agg(count(lit(1)).as("sup"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        top.toSeq.map { case (p1, p2, support) =>
+          val (sa, sb) = (sup(p1), sup(p2))
+          val lift = math.floor(support.toDouble * nOrders.toDouble
+            / sa.toDouble / sb.toDouble * 1000000).toLong
+          (p1, p2, support, sa, sb, lift)
+        }.toDF("p1", "p2", "support", "sup_a", "sup_b", "lift_micro")
       },
       Some("""
         WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),

@@ -95,21 +95,31 @@ object QueriesBZ extends QueryPack {
     // --------------------------------------------------------------- q308
     QDef("q308_hits",
       (s, dir) => {
-        val edges = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .agg(count(lit(1)).as("w")).cache()
-        edges.count()
-        // h0 = 1 ⇒ a1(s) = Σ_c w(c,s)
-        val a1 = edges.groupBy("sk").agg(sum("w").cast("bigint").as("a1"))
-        // h1(c) = Σ_s w(c,s)·a1(s)
-        val h1 = edges.join(a1, "sk")
-          .groupBy("c").agg(expr("CAST(sum(w * a1) AS BIGINT)").as("h1"))
-        // a2(s) = Σ_c w(c,s)·h1(c)
-        val a2 = edges.join(h1, "c")
-          .groupBy("sk").agg(expr("CAST(sum(w * h1) AS BIGINT)").as("a2"))
+        // The r9 form materialized the weighted (c,sk) edge list (join +
+        // groupBy) and re-joined it per pull step — 2.1s at sf0.1 and a
+        // rotating gate flag. The w(c,s) weights never need to exist:
+        // every pull is a sum over the RAW orders⋈lineitem rows (each
+        // (c,s) row appears w(c,s) times), and a1(s) = Σ_c w(c,s) is just
+        // the per-supplier lineitem row count — no join at all. One
+        // cached join frame, two broadcast-lookup aggregations; the
+        // supplier side is supplier-domain-bounded and the per-customer
+        // h1 frame is |customers|-bounded — AQE broadcasts both here and
+        // keeps shuffle joins if a 100 TB customer domain outgrows it.
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val a1 = li.groupBy(col("l_suppkey").as("sk"))
+          .agg(count(lit(1)).cast("bigint").as("a1"))
+        val rows = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("c"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c"), col("l_suppkey").as("sk"))
+          .cache()
+        rows.count() // eager: read by both pull steps
+        // h1(c) = Σ_s w(c,s)·a1(s) = Σ_{join rows of c} a1(sk)
+        val h1 = rows.join(a1, "sk")
+          .groupBy("c").agg(expr("CAST(sum(a1) AS BIGINT)").as("h1"))
+        // a2(s) = Σ_c w(c,s)·h1(c) = Σ_{join rows of s} h1(c)
+        val a2 = rows.join(h1, "c")
+          .groupBy("sk").agg(expr("CAST(sum(h1) AS BIGINT)").as("a2"))
         a1.join(a2, "sk")
           .orderBy(col("a2").desc, col("sk"))
           .limit(20)
