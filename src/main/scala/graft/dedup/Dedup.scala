@@ -44,6 +44,35 @@ object Dedup {
     * lambda (the hot-path form; same values as [[shingleHashes]]). */
   def shingleHash(c: Column): Column = PortableHash.md5Long(c) % M31
 
+  /** Sorted distinct char-n-gram base hashes of a TEXT column, in one
+    * native O(len) pass with a gram→hash memo — value-identical to
+    * `sort_array(collect_set(shingleHash(substr(text, i, n))))` over the
+    * exploded positions, which re-scanned the string per position
+    * (O(len²)) and ran one md5 per POSITION (30s of q33's 36s sf1 wall).
+    * Builds the per-doc set WITHOUT a groupBy shuffle. */
+  def shingleSetHash(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ShingleSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        n, M31, PortableHash.profile == "fast"))
+
+  /** Sorted distinct space-joined word-n-gram base hashes of a WORDS
+    * array column — the word-shingle sibling of [[shingleSetHash]]
+    * (same memo, same O(positions) one-pass build). */
+  def wordShingleSetHash(w: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordShingleSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(w),
+        n, M31, PortableHash.profile == "fast"))
+
+  /** Minhash signature straight from a distinct base-hash SET column —
+    * value-identical to [[minhashAggs]] over the exploded multiset, one
+    * tight native loop per doc. */
+  def minhashFromSet(sh: Column, nHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinhashFromSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(sh), nHashes))
+
   /** MinHash minimum aggregates over an exploded base-hash column: use in
     * ONE groupBy together with collect_set to build signature + shingle
     * set in a single codegen'd pass. Min over the multiset equals min

@@ -46,15 +46,18 @@ object QueriesAX extends QueryPack {
     // --------------------------------------------------------------- q198
     QDef("q198_containment",
       (s, dir) => {
+        // native one-pass shingle-set build (the q33 r10 fix: O(len) walk,
+        // gram→hash memo, no explode/collect_set shuffle)
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 3)
           .select(col("lang"), col("doc_id"),
-            explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
-          .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
-          .groupBy("lang", "doc_id")
-          .agg(sort_array(collect_set(col("h"))).as("g"))
+            Dedup.shingleSetHash(col("text"), 3).as("g"))
           .withColumn("minh", element_at(col("g"), 1))
           .withColumn("sz", size(col("g")).cast("bigint"))
+          // the map-only build inherits the parquet scan's ONE partition
+          // (~20 MB file) — without this, AQE broadcasts one side and the
+          // 23.8M-pair intersect runs single-threaded (75 s measured)
+          .repartition(col("doc_id"))
           .cache()
         docs.count() // eager: both self-join sides read the cache
         // MEASURED NEGATIVE RESULT (r9, sf1 mirror, clearCache bench

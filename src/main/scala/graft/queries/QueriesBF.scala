@@ -130,14 +130,16 @@ object QueriesBF extends QueryPack {
         // block-size arithmetic, and every pair with jac_bp ≥ 2000 ⟺
         // jac ≥ 1/5 is provably generated by one q33 PPJoin rung at
         // t = 1/5 (prefix+size+positional filters, exact verify).
+        // native one-pass shingle-set build (the q33 r10 fix: O(len) walk,
+        // gram→hash memo, no explode/collect_set shuffle)
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 3)
           .select(col("lang"), expr("n_chars DIV 50").as("blk"), col("doc_id"),
-            col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-          .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
-          .groupBy("lang", "blk", "doc_id")
-          .agg(sort_array(collect_set(col("h"))).as("g"))
+            Dedup.shingleSetHash(col("text"), 3).as("g"))
           .withColumn("sz", size(col("g")).cast("bigint"))
+          // restore parallelism lost to the map-only build's single
+          // parquet-scan partition (see q198)
+          .repartition(col("doc_id"))
           .cache()
         docs.count() // eager: census, ranked build, and both verify sides
         val nPairs = docs.groupBy("lang", "blk").agg(count(lit(1)).as("n"))

@@ -25,18 +25,18 @@ object QueriesC extends QueryPack {
     * the band pipeline and both jaccard sides — at 100 TB this is the
     * persisted signature table. */
   private[queries] def shingled(s: SparkSession, dir: String): DataFrame = {
-    val exploded = t(s, dir, "documents")
+    // native one-pass word-shingle-set + minhash-from-set (r10): the
+    // composed explode/concat_ws/md5-per-position/collect_set form
+    // shuffled every position row and ran one md5 per position; this is
+    // a pure map over documents (sorted sets: the pairwise verify uses
+    // the native merge-walk count). repartition restores the parallelism
+    // the single-file parquet scan would otherwise pin to one task.
+    val sigTable = t(s, dir, "documents")
       .withColumn("w", TextFunctions.words(col("text")))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
-      .withColumn("h", Dedup.shingleHash(expr("concat_ws(' ', w[i], w[i+1], w[i+2])")))
-    // sorted sets: the pairwise verify uses the native merge-walk count
-    val aggs = sort_array(collect_set(col("h"))).as("sh") +: Dedup.minhashAggs(col("h"), 6)
-    val sigTable = exploded.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("sig", array((0 until 6).map(j => col(s"_mh$j")): _*))
-      .select("doc_id", "sh", "sig")
+      .select(col("doc_id"), Dedup.wordShingleSetHash(col("w"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashFromSet(col("sh"), 6))
+      .repartition(col("doc_id"))
       .cache()
     // eager materialization: the final plan references this table from
     // three subtrees of ONE job — without it, concurrent tasks race the
@@ -210,17 +210,20 @@ object QueriesC extends QueryPack {
     // the found set provably contains the global top-20 including ties.
     QDef("q33_dedup_ngram_jaccard",
       (s, dir) => {
-        // positions exploded → substr + md5 inside codegen → collect_set:
-        // per-pair set intersection runs on fixed-width longs, no
-        // interpreted array lambdas anywhere on the hot path.
+        // native one-pass shingle-set build (Dedup.shingleSetHash): the r9
+        // explode+substr+md5-per-position+collect_set form was O(len²) in
+        // byte scans, one md5 per position, and shuffled 14.8M rows to
+        // rebuild per-doc sets — 30s of the 36s sf1 wall. Now a pure map
+        // over documents; per-pair set intersection still runs on
+        // fixed-width longs downstream.
         val docs = t(s, dir, "documents")
           .filter(length(col("text")) >= 3)
           .select(col("lang"), expr("n_chars DIV 50").as("blk"), col("doc_id"),
-            col("text"), explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-          .withColumn("h", Dedup.shingleHash(expr("substr(text, i, 3)")))
-          .groupBy("lang", "blk", "doc_id")
-          .agg(sort_array(collect_set(col("h"))).as("g"))
+            Dedup.shingleSetHash(col("text"), 3).as("g"))
           .withColumn("sz", size(col("g")).cast("bigint"))
+          // restore parallelism lost to the map-only build's single
+          // parquet-scan partition (see q198)
+          .repartition(col("doc_id"))
           .cache()
         docs.count() // eager: rungs, fallback, and both verify sides
         // ascending-df shingle order via the (df, h) pair (q288's trick —
