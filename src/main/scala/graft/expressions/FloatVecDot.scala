@@ -20,6 +20,19 @@ object VecMath {
     }
     acc
   }
+
+  /** float-left, double-right variant (recomputed k-means centroids are
+    * array<double>); same index order and widening as the HOF form. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native dot product over two `array<float>` columns: a tight primitive
@@ -36,6 +49,26 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.expressions.VecMath.dotFF($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native dot product of an `array<float>` column against an
+  * `array<double>` column — bit-identical to
+  * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), 0d, +)`,
+  * which runs as ~3 interpreted lambdas per row. */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_fd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VecMath.dotFD($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -26,6 +26,11 @@ object VectorOps {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
       s"t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** float-left, double-right native dot (recomputed centroids are
+    * array<double>); same widening/op order as the HOF form it replaces. */
+  def dotFD(a: String, b: String): Column =
+    toCol(graft.expressions.FloatDoubleVecDot(toExpr(col(a)), toExpr(col(b))))
+
   /** Higher-order-function form (tier-a reference semantics). */
   def dotComposed(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +

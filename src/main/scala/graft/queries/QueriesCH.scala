@@ -190,7 +190,11 @@ object QueriesCH extends QueryPack {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            VectorOps.norm("embedding").as("nrm")).cache()
+            VectorOps.norm("embedding").as("nrm"))
+          // single-file parquet scan = ONE partition: without this every
+          // broadcast cross-join dot below runs on one task (see q198)
+          .repartition(col("vec_id"))
+          .cache()
         e.count()
         val anchors = e.filter(col("vec_id") < 100)
           .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
@@ -200,9 +204,12 @@ object QueriesCH extends QueryPack {
           val w = Window.partitionBy(idc).orderBy(col("dmicro"), col("vec_id"))
           e.crossJoin(broadcast(qs))
             .filter(col("vec_id") =!= col(idc))
-            .withColumn("cos6", VectorOps.cosine6Out(vc, "embedding", nc, "nrm"))
-            .withColumn("dmicro",
-              expr("CAST(floor((1 - cos6) * 1000000 + 0.5) AS BIGINT)"))
+            // slim BEFORE the window: the shuffle carries 3 longs per
+            // pair instead of two 256-byte vectors (the r9 form moved
+            // ~5 GB through the nbr-side window at sf1)
+            .select(col(idc), col("vec_id"),
+              floor((lit(1) - VectorOps.cosine6Out(vc, "embedding", nc, "nrm"))
+                * 1000000 + 0.5).cast("bigint").as("dmicro"))
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
         }

@@ -27,23 +27,36 @@ object QueriesM extends QueryPack {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
+          // single-file parquet scan = ONE partition: repartition or both
+          // broadcast cross-join E-steps run on one task (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: corpus read by both assignment passes in one job
         val seeds = e.filter(col("vec_id") % SeedMod === 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm"))
-        // E-step 1: nearest seed by 6-dp cosine, c_id tie-break
-        val w1 = Window.partitionBy("vec_id").orderBy(col("sim6").desc, col("c_id"))
+        // E-step 1: nearest seed by 6-dp cosine, c_id tie-break. argmax
+        // via max(struct(sim6, -c_id)) — partial aggregation collapses
+        // each vec_id's |seeds| rows MAP-SIDE, so nothing vector-sized
+        // crosses a shuffle (the r9 row_number window shuffled |corpus| ×
+        // |seeds| rows each carrying the 256-byte embedding — ~1 GB per
+        // E-step at sf1, the wall's bulk). Ordering identity: struct max
+        // compares sim6 first (NaN greatest, same as the window's DESC),
+        // then the negated id picks the smallest c_id.
         val a1 = e.crossJoin(broadcast(seeds))
-          .withColumn("sim6",
-            round(VectorOps.cosineFromNorms("embedding", "c_vec", "nrm", "c_nrm"), 6))
-          .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+          .select(col("vec_id"),
+            round(VectorOps.cosineFromNorms("embedding", "c_vec", "nrm", "c_nrm"), 6)
+              .as("sim6"),
+            col("c_id"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim6"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
           .cache()
         a1.count() // eager: referenced by the M-step and the migration join
         // M-step: per-cell per-dim decimal-exact means, re-assembled in
-        // dim order (the sequential fold below then matches the oracle)
-        val dims = a1
+        // dim order (the sequential fold below then matches the oracle);
+        // vectors re-read from the cached corpus, not carried through a1
+        val dims = a1.join(e, "vec_id")
           .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy("cell", "dim")
           .agg(sum(col("x").cast("double").cast(DecimalType(28, 9))).cast("double").as("sd"),
@@ -54,17 +67,19 @@ object QueriesM extends QueryPack {
             .as("c_vec2"))
           .withColumn("c_nrm2",
             sqrt(expr("aggregate(c_vec2, CAST(0 AS DOUBLE), (a, v) -> a + v * v)")))
-        // E-step 2 against the recomputed centroids (double vectors →
-        // HOF double fold, same op order as the oracle)
-        val w2 = Window.partitionBy("vec_id").orderBy(col("sim6b").desc, col("cell2"))
+        // E-step 2 against the recomputed centroids: native float×double
+        // dot (the HOF zip_with/aggregate form runs ~3 interpreted
+        // lambdas per pair — seconds at 4M pairs), same map-side argmax
         val a2 = e.crossJoin(broadcast(cents.select(col("cell").as("cell2"),
             col("c_vec2"), col("c_nrm2"))))
-          .withColumn("dot2", expr(
-            "aggregate(zip_with(embedding, c_vec2, (x, y) -> CAST(x AS DOUBLE) * y), " +
-              "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-          .withColumn("sim6b", round(col("dot2") / (col("nrm") * col("c_nrm2")), 6))
-          .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cell2"), col("sim6b"))
+          .select(col("vec_id"),
+            round(VectorOps.dotFD("embedding", "c_vec2")
+              / (col("nrm") * col("c_nrm2")), 6).as("sim6b"),
+            col("cell2"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim6b"), (-col("cell2")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell2"),
+            col("m.sim6b").as("sim6b"))
         // migration report per original cell
         val moved = a1.select("vec_id", "cell").join(a2, "vec_id")
           .groupBy("cell")
