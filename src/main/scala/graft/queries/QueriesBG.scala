@@ -86,6 +86,9 @@ object QueriesBG extends QueryPack {
           .select(col("vec_id"), col("embedding"), col("label"),
             VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
             VectorOps.norm("embedding").as("nrm"))
+          // single-file scan = ONE partition; repartition or downstream
+          // join/cross-join compute runs on one task (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: both self-join sides
         val a = e.select(col("bucket"), col("vec_id").as("ida"),

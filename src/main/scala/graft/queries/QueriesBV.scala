@@ -43,7 +43,9 @@ object QueriesBV extends QueryPack {
     // --------------------------------------------------------------- q293
     QDef("q293_pq_adc_accuracy",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select("vec_id", "embedding").cache()
+        // repartition: single-file scan = ONE partition (see q198)
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .repartition(col("vec_id")).cache()
         e.count() // eager: codebook, query, code-assign, exact sides share it
         val cb = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cb_id"), col("embedding").as("cb_vec"))

@@ -311,6 +311,8 @@ object QueriesC extends QueryPack {
           .select(col("vec_id"), col("embedding"),
             VectorOps.lshBucket("embedding", nPlanes = 8, dim = 64).as("bucket"),
             VectorOps.norm("embedding").as("nrm"))
+          // repartition: single-file scan = ONE partition (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: read by both join sides in one job
         val a = e.select(col("bucket"), col("vec_id").as("id_a"),

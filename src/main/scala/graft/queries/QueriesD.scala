@@ -111,6 +111,8 @@ object QueriesD extends QueryPack {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), VectorOps.norm("embedding").as("nrm"))
+          // repartition: single-file scan = ONE partition (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: corpus, seed and query sides share one job
         val seeds = e.filter(col("vec_id") % SeedMod === 0)

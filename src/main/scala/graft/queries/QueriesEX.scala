@@ -97,6 +97,8 @@ object QueriesEX extends QueryPack {
             VectorOps.norm("embedding").as("nrm"),
             expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
               " * 1000000.0 + 0.5) AS BIGINT))").as("mv"))
+          // repartition: single-file scan = ONE partition (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: read by centroid build, dist, and cos stages
         val ex = e.select(col("bucket"), col("vec_id"),

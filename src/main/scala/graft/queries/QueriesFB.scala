@@ -250,6 +250,8 @@ object QueriesFB extends QueryPack {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm("embedding").as("nrm"))
+          // repartition: single-file scan = ONE partition (see q198)
+          .repartition(col("vec_id"))
           .cache()
         e.count() // eager: corpus, seeds, queries, ground truth
         val seeds = e.filter(col("vec_id") % SeedMod === 0)

@@ -28,7 +28,9 @@ object QueriesQ extends QueryPack {
     // ---------------------------------------------------------------- q47
     QDef("q47_pq_quantize",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select("vec_id", "embedding").cache()
+        // repartition: single-file scan = ONE partition (see q198)
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .repartition(col("vec_id")).cache()
         e.count() // eager: corpus + codebook sides share one job
         val cb = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cb_id"), col("embedding").as("cb_vec"))
