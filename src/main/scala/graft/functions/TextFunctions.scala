@@ -60,6 +60,17 @@ object TextFunctions {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($e) + 1), " +
       s"i -> CAST(ord(substr($e, i, 1)) AS BIGINT))), (acc, ch) -> (acc * 131 + ch) % 1000000007)"
 
+  /** Sorted distinct winnowing fingerprints (window-min of the rolling
+    * n-gram fingerprint over `win` positions) in one native pass —
+    * value-identical to posexplode([[charNgrams]]) →
+    * [[rollingFingerprint]] → min OVER (ROWS 0..win-1) → distinct, which
+    * ran ~2·len interpreted lambdas per gram plus a per-corpus window
+    * shuffle (q494's 17.8s sf1 wall). */
+  def winnowFps(c: Column, n: Int, win: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), n, win))
+
   /** Language-marker stopword sets (whole-word hits, scored per language).
     * Honest marker heuristic; deterministic tie-break en > de > es > fr. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -79,21 +79,39 @@ object QueriesBB extends QueryPack {
     // --------------------------------------------------------------- q216
     QDef("q216_er_clusters",
       (s, dir) => {
-        val p = t(s, dir, "part")
-          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-        val a = p.select(col("p_brand"), col("p_size"),
-          col("p_partkey").as("id_a"), col("p_name").as("na"))
-        val b = p.select(col("p_brand"), col("p_size"),
-          col("p_partkey").as("id_b"), col("p_name").as("nb"))
-        val edges = a.join(b, Seq("p_brand", "p_size"))
+        // GROUP CONTRACTION (r10): lev(n_a, n_b) is constant across every
+        // part pair drawn from two (brand, size, name) groups, so the
+        // pairwise lev≤2 relation either links ALL cross-group pairs or
+        // none, and a group's own parts are pairwise lev=0 — components
+        // of the contracted group graph (rep = min part id per group) are
+        // EXACTLY the full graph's components. The r9 part×part form ran
+        // 16M levenshteins and fed an O(Σ block²) edge list to CC
+        // (21.7s at sf1); the name domain is tiny (64 distinct names,
+        // 17.7k groups), so this runs ~125k levs and a 17.7k-node CC.
+        val g = t(s, dir, "part")
+          .groupBy(col("p_brand"), col("p_size"), col("p_name"))
+          .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("cnt"))
+          .cache()
+        g.count() // eager: both group-join sides + the label join
+        val ga = g.select(col("p_brand"), col("p_size"),
+          col("rep").as("id_a"), col("p_name").as("na"))
+        val gb = g.select(col("p_brand"), col("p_size"),
+          col("rep").as("id_b"), col("p_name").as("nb"))
+        val gedges = ga.join(gb, Seq("p_brand", "p_size"))
           .where(col("id_a") < col("id_b") &&
             levenshtein(col("na"), col("nb")) <= 2)
           .select("id_a", "id_b")
         // dual-path components (round-8): one-task union-find under the
         // bounded edge-census threshold, label propagation above it —
         // same (id, lbl=min id) contract, spec-asserted equal
-        Components.connectedComponents(edges, "id_a", "id_b")
-          .groupBy("lbl").agg(count(lit(1)).as("sz"))
+        val comp = Components.connectedComponents(gedges, "id_a", "id_b")
+        // a group with no cross edge is a cluster of its own parts, but
+        // only its internal pairs put it in the ORIGINAL edge set: keep
+        // isolated groups only when cnt >= 2 (a lone part has no edge)
+        val labeled = g.join(comp, g("rep") === comp("id"), "left")
+          .where(col("id").isNotNull || col("cnt") >= 2)
+          .select(coalesce(col("lbl"), col("rep")).as("lbl"), col("cnt"))
+        labeled.groupBy("lbl").agg(sum("cnt").cast("bigint").as("sz"))
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"), min("lbl").as("min_cluster"))
           .orderBy("cluster_size")

@@ -287,16 +287,12 @@ object QueriesDU extends QueryPack {
     // --------------------------------------------------------------- q494
     QDef("q494_winnowing",
       (s, dir) => {
-        val grams = t(s, dir, "documents")
+        // native one-pass winnowing (r10): per-doc distinct window-min
+        // fingerprints with no posexplode, no interpreted rolling-hash
+        // lambdas, no |grams|-row window shuffle (17.8s -> the gram walk)
+        val fps = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            posexplode(TextFunctions.charNgrams("text", 5))
-              .as(Seq("pos", "g")))
-          .withColumn("h", TextFunctions.rollingFingerprint("g"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy("pos").rowsBetween(0, 3)
-        val fps = grams
-          .withColumn("fp", min("h").over(w))
-          .select(col("doc_id"), col("lang"), col("fp")).distinct()
+            explode(TextFunctions.winnowFps(col("text"), 5, 4)).as("fp"))
         val df = fps.groupBy("lang", "fp")
           .agg(countDistinct("doc_id").cast("bigint").as("ndocs"))
         df.groupBy("lang").agg(
