@@ -42,6 +42,14 @@ object TextFunctions {
     s"CASE WHEN len($w) < $n THEN [] ELSE list_transform(range(1, len($w) - ${n - 2}), i -> $parts) END"
   }
 
+  /** Sorted distinct space-joined word n-grams, one native pass — the
+    * un-hashed sibling of Dedup.wordShingleSetHash for queries whose
+    * oracle works on raw gram strings. */
+  def wordNgramSet(w: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordNgramSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(w), n))
+
   /** Character n-grams of string column `c`. */
   def charNgrams(c: String, n: Int): Column =
     when(length(col(c)) < n, array().cast("array<string>")).otherwise(

@@ -202,14 +202,23 @@ object QueriesCT extends QueryPack {
     // --------------------------------------------------------------- q390
     QDef("q390_ktruss_support",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val liB = li.selectExpr("l_orderkey", "l_partkey AS pb")
-        val e = li.join(liB, Seq("l_orderkey"))
-          .where(col("l_partkey") < col("pb"))
-          .groupBy(col("l_partkey").as("pa"), col("pb"))
+        // basket-array pair build (q140 pattern): one collect_set shuffle,
+        // pairs map-side from the ≤7-part sorted basket; and e CACHED —
+        // the r9 form recomputed the whole distinct+self-join+groupBy
+        // pipeline for each of its FOUR references (12.6s at sf1)
+        val e = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"""))
+            .as("pr"))
+          .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .groupBy("pa", "pb")
           .agg(count(lit(1)).as("c")).where(col("c") >= 2)
           .select("pa", "pb")
+          .cache()
+        e.count() // eager: e1/e2/e3 and the support join all read it
         val e1 = e.selectExpr("pa AS a", "pb AS b")
         val e2 = e.selectExpr("pa AS b", "pb AS c2")
         val e3 = e.selectExpr("pa AS a", "pb AS c2")
@@ -222,6 +231,8 @@ object QueriesCT extends QueryPack {
             .agg(count(lit(1)).as("sup")),
           Seq("pa", "pb"), "left")
           .withColumn("sup", coalesce(col("sup"), lit(0L)))
+          .cache()
+        support.count() // eager: bucket rollup + the truss summary
         support
           .selectExpr("least(sup, 5) AS support_bucket")
           .groupBy("support_bucket").agg(count(lit(1)).as("n_edges"))

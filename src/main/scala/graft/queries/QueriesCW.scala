@@ -149,44 +149,72 @@ object QueriesCW extends QueryPack {
     // --------------------------------------------------------------- q400
     QDef("q400_apriori_triples",
       (s, dir) => {
+        // Basket-array shape (r10, the q140 pattern): the brand domain is
+        // 25 values, so the per-order basket is a ≤25-element sorted
+        // array built in ONE collect_set shuffle; pairs and triples are
+        // enumerated MAP-SIDE from the array and partially aggregated
+        // into ≤C(25,2)/C(25,3) keys — nothing pairwise ever shuffles.
+        // The r9 form self-joined the basket table three ways (52M triple
+        // rows through joins at sf1, 13.8s). freq1/freq2 are bounded
+        // censuses (≤25 / ≤300 rows) and compact on the driver; the
+        // Apriori cand filter commutes with the triple count, so it
+        // applies AFTER the tiny aggregate.
+        val sc3 = s
+        import sc3.implicits._
         val baskets = t(s, dir, "lineitem")
-          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-          .distinct()
-        val nOrders = baskets.agg(countDistinct("ok")).first().getLong(0)
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+          .cache()
+        val nOrders = baskets.count() // eager cache AND the census scalar
         val minsup1 = math.max(nOrders / 100, 2L)
         val minsup2 = math.max(nOrders / 200, 2L)
-        val freq1 = baskets.groupBy("b").agg(count(lit(1)).as("s1"))
+        val freq1 = baskets.select(explode(col("bs")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("s1"))
           .where(col("s1") >= minsup1)
-        val b1 = baskets.join(broadcast(freq1.select("b")), "b")
-        val pairSup = b1.as("x").join(b1.as("y"), expr("x.ok = y.ok AND x.b < y.b"))
-          .select(col("x.b").as("ba"), col("y.b").as("bb"))
-          .groupBy("ba", "bb").agg(count(lit(1)).as("s2"))
-        val freq2 = pairSup.where(col("s2") >= minsup2)
-        // Apriori candidate generation: (a,b) ⋈ (a,c) with b<c, then the
-        // (b,c) closing pair must itself be frequent (broadcast semi-join).
-        val cand = freq2.as("p").join(freq2.as("q"),
-            expr("p.ba = q.ba AND p.bb < q.bb"))
-          .select(col("p.ba").as("ta"), col("p.bb").as("tb"), col("q.bb").as("tc"))
-          .join(broadcast(freq2.select(col("ba").as("tb"), col("bb").as("tc"))),
-            Seq("tb", "tc"), "left_semi")
-        val sup3 = b1.as("u").join(b1.as("v"), expr("u.ok = v.ok AND u.b < v.b"))
-          .join(b1.as("z"), expr("v.ok = z.ok AND v.b < z.b"))
-          .select(col("u.b").as("ta"), col("v.b").as("tb"),
-            col("z.b").as("tc"), col("u.ok").as("ok"))
-          .join(broadcast(cand), Seq("ta", "tb", "tc"), "left_semi")
-          .groupBy("ta", "tb", "tc").agg(count(lit(1)).as("support"))
-        sup3
-          .join(broadcast(freq1).withColumnRenamed("b", "ta")
-            .withColumnRenamed("s1", "na"), "ta")
-          .join(broadcast(freq1).withColumnRenamed("b", "tb")
-            .withColumnRenamed("s1", "nb"), "tb")
-          .join(broadcast(freq1).withColumnRenamed("b", "tc")
-            .withColumnRenamed("s1", "nc"), "tc")
-          .selectExpr("ta", "tb", "tc", "support",
-            s"(((1000 * support * $nOrders) DIV na) * $nOrders DIV nb) DIV nc AS lift_milli")
-          .orderBy(col("support").desc, col("ta"), col("tb"), col("tc"))
-          .limit(15)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val f1 = freq1.keys.toSeq.sorted
+        val fb = baskets
+          .select(col("ok"), array_intersect(col("bs"),
+            typedLit(f1)).as("fb")) // bs sorted ⇒ intersect stays sorted
+        val pairCols = expr(
+          """flatten(transform(fb, (x, i) ->
+             transform(slice(fb, i + 2, size(fb)), y -> struct(x AS ba, y AS bb))))""")
+        val freq2 = fb.select(pairCols.as("ps"))
+          .select(explode(col("ps")).as("pr"))
+          .groupBy(col("pr.ba").as("ba"), col("pr.bb").as("bb"))
+          .agg(count(lit(1)).as("s2"))
+          .where(col("s2") >= minsup2)
+          .select("ba", "bb")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        // Apriori candidate join on the driver over the ≤300-pair census
+        val cand = (for {
+          (a, b) <- freq2; (a2, c) <- freq2
+          if a2 == a && b < c && freq2((b, c))
+        } yield (a, b, c)).toSet
+        val tripleCols = expr(
+          """flatten(transform(fb, (x, i) ->
+             flatten(transform(slice(fb, i + 2, size(fb)), (y, j) ->
+               transform(slice(fb, i + j + 3, size(fb)),
+                 z -> struct(x AS ta, y AS tb, z AS tc))))))""")
+        val sup3 = fb.select(tripleCols.as("ts"))
+          .select(explode(col("ts")).as("tr"))
+          .groupBy(col("tr.ta").as("ta"), col("tr.tb").as("tb"),
+            col("tr.tc").as("tc"))
+          .agg(count(lit(1)).as("support"))
+          .collect()
+          .filter(r => cand((r.getString(0), r.getString(1), r.getString(2))))
+        sup3.toSeq.map { r =>
+          val (ta, tb, tc, sup) =
+            (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+          val lift = 1000L * sup * nOrders / freq1(ta) * nOrders /
+            freq1(tb) / freq1(tc)
+          (ta, tb, tc, sup, lift)
+        }.sortBy { case (ta, tb, tc, sup, _) => (-sup, ta, tb, tc) }
+          .take(15)
+          .toDF("ta", "tb", "tc", "support", "lift_milli")
       },
       Some("""
         WITH baskets AS (

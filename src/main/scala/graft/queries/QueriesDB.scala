@@ -245,44 +245,43 @@ object QueriesDB extends QueryPack {
     // --------------------------------------------------------------- q422
     QDef("q422_greedy_coverage",
       (s, dir) => {
+        // DRIVER COMPACTION over the bounded census (r10): the distinct
+        // (source, trigram) table is |sources| × vocab³-bounded (20 × ~30k
+        // here), so the greedy runs in Scala over collected per-source
+        // sets. The r9 form re-ran the explode+distinct pipeline ~6×
+        // (uncached tg referenced twice per step) and ~20 jobs — 16s at
+        // sf1 for what is one aggregation of work.
+        val sc3 = s
+        import sc3.implicits._
         val tg = t(s, dir, "documents")
+          // single-file scan = ONE partition; fan out before the gram work
+          .repartition(col("doc_id"))
           .withColumn("w", TextFunctions.words(col("text")))
           .where(size(col("w")) >= 3)
-          .select(col("source"),
-            explode(TextFunctions.wordNgrams("w", 3)).as("g"))
+          // native per-doc distinct gram set, built in its OWN projection:
+          // a generator child is re-evaluated per OUTPUT row, so the set
+          // must be a materialized column before the explode
+          .select(col("source"), TextFunctions.wordNgramSet(col("w"), 3).as("gs"))
+          .select(col("source"), explode(col("gs")).as("g"))
           .distinct()
-        var covered: Option[org.apache.spark.sql.DataFrame] = None
-        var winners: Seq[org.apache.spark.sql.DataFrame] = Nil
-        var excluded: Option[org.apache.spark.sql.DataFrame] = None
-        for (step <- 1 to 3) {
-          val cand0 = excluded match {
-            case Some(ex) =>
-              tg.join(ex, col("source") === col("wsrc"), "left_anti")
-            case None => tg
-          }
-          val cand = covered match {
-            case Some(cov) =>
-              cand0.join(cov, col("g") === col("cg"), "left_anti")
-            case None => cand0
-          }
-          val win = cand.groupBy("source")
-            .agg(countDistinct("g").cast("long").as("gain"))
-            .orderBy(col("gain").desc, col("source")).limit(1)
-            .withColumn("step", lit(step.toLong))
-          winners = winners :+ win
-          val winSrc = win.select(col("source").as("wsrc"))
-          val newCov = tg.join(winSrc, col("source") === col("wsrc"))
-            .select(col("g").as("cg")).distinct()
-          covered = Some(covered.map(_.union(newCov).distinct())
-            .getOrElse(newCov))
-          excluded = Some(excluded.map(_.union(winSrc).distinct())
-            .getOrElse(winSrc))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        val bySrc = tg.groupBy(_._1).map { case (src, rs) =>
+          src -> rs.map(_._2).toSet
         }
-        winners.reduce(_ union _)
-          .withColumn("cum", sum("gain")
-            .over(Window.orderBy("step")).cast("long"))
-          .select("step", "source", "gain", "cum")
-          .orderBy("step")
+        val covered = scala.collection.mutable.HashSet[String]()
+        val excluded = scala.collection.mutable.HashSet[String]()
+        var cum = 0L
+        val out = (1 to 3).map { step =>
+          val (src, gain) = bySrc.view
+            .filterNot { case (k, _) => excluded(k) }
+            .map { case (k, gs) => (k, gs.count(g => !covered(g)).toLong) }
+            .minBy { case (k, gn) => (-gn, k) } // gain desc, source asc
+          covered ++= bySrc(src)
+          excluded += src
+          cum += gain
+          (step.toLong, src, gain, cum)
+        }
+        out.toDF("step", "source", "gain", "cum")
       },
       Some(s"""
         WITH d AS (SELECT source, $wSql AS w FROM documents),
