@@ -42,11 +42,16 @@ object QueriesBD extends QueryPack {
   /** support≥2 co-occurrence edges (a<b) over parts in the same order —
     * the q184/q195 graph (local copy; QueriesAW's is private). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
-    val lp = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-    lp.select(col("ok"), col("l_partkey").as("a"))
-      .join(lp.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
-      .where(col("a") < col("b"))
+    t(s, dir, "lineitem")
+      // basket-array pair build (q140/q390 pattern): one collect_set
+      // shuffle, pairs map-side from the <=7-part sorted basket
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+        .as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select("a", "b")

@@ -38,12 +38,16 @@ object QueriesBX extends QueryPack {
     // --------------------------------------------------------------- q300
     QDef("q300_cc_size_histogram",
       (s, dir) => {
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val a = op.select(col("l_orderkey"), col("l_partkey").as("id_a"))
-        val b = op.select(col("l_orderkey"), col("l_partkey").as("id_b"))
-        val edges = a.join(b, "l_orderkey")
-          .where(col("id_a") < col("id_b"))
+        val edges = t(s, dir, "lineitem")
+          // basket-array pair build (q140/q390 pattern): one collect_set
+          // shuffle, pairs map-side from the <=7-part sorted basket
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS id_a, y AS id_b))))"""))
+            .as("pr"))
+          .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
           .where(col("c") >= 2)
           .select("id_a", "id_b")

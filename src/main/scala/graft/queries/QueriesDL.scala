@@ -196,11 +196,16 @@ object QueriesDL extends QueryPack {
     // --------------------------------------------------------------- q457
     QDef("q457_hub_matrix",
       (s, dir) => {
-        val lp = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-        val e = lp.select(col("ok"), col("l_partkey").as("a"))
-          .join(lp.select(col("ok"), col("l_partkey").as("b")), Seq("ok"))
-          .where(col("a") < col("b"))
+        val e = t(s, dir, "lineitem")
+          // basket-array pair build (q140/q390 pattern): one collect_set
+          // shuffle, pairs map-side from the <=7-part sorted basket
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"""))
+            .as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
           .where(col("cnt") >= 2).select("a", "b")
         val adj = e.select(col("a").as("u"), col("b").as("v"))
