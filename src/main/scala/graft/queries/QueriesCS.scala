@@ -139,11 +139,15 @@ object QueriesCS extends QueryPack {
             .selectExpr("event_id", "ts",
               "CAST(get_json_object(props, '$.k') AS BIGINT) AS key"),
           Seq(col("ts"), col("event_id")), "ord")
+          .cache() // read by reuse, the banded side AND n_total
+        acc.count()
         val reuse = acc
           .withColumn("prev_ord", lag("ord", 1).over(
             Window.partitionBy("key").orderBy("ord")))
           .where(col("prev_ord").isNotNull)
           .select("ord", "prev_ord")
+          .cache() // read by the banded explode AND the d0 left join
+        reuse.count()
         // band the gap so the range join is equi on block id, not O(n²)
         val blocks = reuse.withColumn("b", explode(sequence(
           expr(s"CAST((prev_ord + 1) DIV $B AS BIGINT)"),

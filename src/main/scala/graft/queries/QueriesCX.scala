@@ -78,6 +78,7 @@ object QueriesCX extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
           .join(lines, col("o_orderkey") === col("l_orderkey"))
           .select("o_orderkey", "cents", "y")
+          .cache() // read by BOTH the median scan and the sided pass
         // value at rank ceil(n/2) == percentile_disc(1/2): exact, via
         // distinct-value cumsum (no single-task window over all orders)
         val med = graft.operators.ScaleRank.quantileDisc(
