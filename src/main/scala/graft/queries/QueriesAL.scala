@@ -38,6 +38,7 @@ object QueriesAL extends QueryPack {
           .withColumn("jac_bp", Dedup.jaccardBpFromInter(col("inter"), "sh_a", "sh_b"))
           .where(col("jac_bp") >= 6000)
           .select("id_a", "id_b")
+          .cache() // read by n_minhash AND the intersect
         val exploded = t(s, dir, "documents")
           .withColumn("w", TextFunctions.words(col("text")))
           .filter(size(col("w")) > 0)
@@ -55,6 +56,8 @@ object QueriesAL extends QueryPack {
           .distinct()
           .where(Dedup.hamming(col("sh_a"), col("sh_b")) <= 3)
           .select("id_a", "id_b")
+          .cache() // read by n_simhash AND the intersect
+        lshPairs.count(); shPairs.count() // eager before the shared job
         val nA = lshPairs.agg(count(lit(1)).as("n_minhash"))
         val nB = shPairs.agg(count(lit(1)).as("n_simhash"))
         val nI = lshPairs.intersect(shPairs).agg(count(lit(1)).as("n_both"))
