@@ -281,12 +281,8 @@ object QueriesDQ extends QueryPack {
         def bigrams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("w", TextFunctions.words(col("text")))
           .where(size(col("w")) >= 2)
-          // bigram array built in its OWN projection — a generator child
-          // is re-evaluated per OUTPUT row (q558 postmortem family)
           .select(col("doc_id"), col("lang"), col("h"),
-            expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))").as("bgs"))
-          .select(col("doc_id"), col("lang"), col("h"),
-            explode(col("bgs")).as("bg"))
+            explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("bg"))
           .select(col("doc_id"), col("lang"), col("h"),
             col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val c2 = bigrams(docs.where(col("h") < 80))
