@@ -202,19 +202,28 @@ object QueriesCS extends QueryPack {
         val ev = t(s, dir, "events").where(col("value").isNotNull)
           .selectExpr("event_type", s"($tsMs) DIV 86400000 AS d",
             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+          .cache() // read by dmin, both lab passes and the type census
         val d0 = ev.agg(min("d").as("dmin"))
         val lab = ev.crossJoin(broadcast(d0))
           .selectExpr("event_type", "cents",
             "CASE WHEN d < dmin + 15 THEN 0 ELSE 1 END AS per")
-        val ref = lab.where(col("per") === 0)
-          .withColumn("rk", row_number().over(
+        // decile edges over the DISTINCT-cents census: a value v holds
+        // rank range [cum-cnt+1, cum], and the r9 row_number form
+        // qualified v iff its MIN rank did — so the census cumsum gives
+        // the identical edge while the window sorts |distinct cents| rows
+        // per type instead of every ref row (5 types ⇒ 5 giant sort
+        // tasks, the 4.9s wall)
+        val census = lab.where(col("per") === 0)
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+        val cum = census
+          .withColumn("cum", sum("cnt").over(
             Window.partitionBy("event_type").orderBy("cents")))
-          .withColumn("n", count(lit(1)).over(
+          .withColumn("n", sum("cnt").over(
             Window.partitionBy("event_type")))
-        val edges = ref.withColumn("i", explode(sequence(lit(1), lit(9))))
+        val edges = cum.withColumn("i", explode(sequence(lit(1), lit(9))))
           .groupBy("event_type", "i")
-          .agg(max(when(col("rk") * 10 <= col("n") * col("i"), col("cents")))
-            .as("edge"))
+          .agg(max(when((col("cum") - col("cnt") + 1) * 10 <= col("n") * col("i"),
+            col("cents"))).as("edge"))
         val edgeCols = (1 to 9).map(i =>
           max(when(col("i") === i, col("edge"))).as(s"e$i"))
         val edgerow = edges.groupBy("event_type")

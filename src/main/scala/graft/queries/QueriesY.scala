@@ -77,10 +77,21 @@ object QueriesY extends QueryPack {
     // ---------------------------------------------------------------- q108
     QDef("q108_referential_audit",
       (s, dir) => {
+        // both audits in ONE union+groupBy pass (the r9 two anti-joins
+        // scanned+shuffled each table twice): per-key lineitem count and
+        // order flag, then the two violation sums
         val o = t(s, dir, "orders").select(col("o_orderkey"))
         val li = t(s, dir, "lineitem").select(col("l_orderkey"))
-        val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
-        val childless = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+        val tagged = li.select(col("l_orderkey").as("k"),
+            lit(1L).as("isL"), lit(0L).as("isO"))
+          .unionAll(o.select(col("o_orderkey").as("k"),
+            lit(0L).as("isL"), lit(1L).as("isO")))
+        val row = tagged.groupBy("k")
+          .agg(sum("isL").as("nl"), sum("isO").as("no"))
+          .agg(sum(when(col("no") === 0, col("nl")).otherwise(0L)).as("orph"),
+            sum(when(col("nl") === 0, 1L).otherwise(0L)).as("chl"))
+          .first()
+        val (orphans, childless) = (row.getLong(0), row.getLong(1))
         val s2 = o.sparkSession
         import s2.implicits._
         Seq(("orphan_lineitems", orphans), ("childless_orders", childless))
