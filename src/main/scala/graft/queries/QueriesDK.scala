@@ -204,7 +204,17 @@ object QueriesDK extends QueryPack {
     // --------------------------------------------------------------- q453
     QDef("q453_stump_boost",
       (s, dir) => {
-        val data0 = t(s, dir, "lineitem")
+        // DRIVER COMPACTION over the bounded joint census (r10): x1 is
+        // bp-quantized discount (<=10001 values), x2 = p_size (small
+        // int), y binary -- so (x1, x2, y, cnt) is a by-construction-
+        // bounded census and both stumps, both residual passes and both
+        // SSEs are plain arithmetic over it in Scala. The r9 form ran
+        // ~10 sequential jobs at the ~0.3s job floor (the documented
+        // sf0.1 exemption). Scala Long / == Spark DIV on these values;
+        // the gain doubles use the oracle's exact op order.
+        val sc3 = s
+        import sc3.implicits._
+        val cen = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_size"))),
             col("l_partkey") === col("p_partkey"))
@@ -212,50 +222,48 @@ object QueriesDK extends QueryPack {
             "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x1",
             "CAST(p_size AS BIGINT) AS x2",
             "CASE WHEN l_returnflag = 'R' THEN CAST(1000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y")
-        data0.cache(); data0.count()
-        def stump(df: DataFrame, xcol: String, ycol: String): DataFrame = {
-          val byV = df.groupBy(col(xcol).as("v")).agg(
-            count(lit(1)).cast("bigint").as("c"),
-            sum(ycol).cast("bigint").as("sv"))
-          val tot = byV.agg(sum("c").cast("bigint").as("nt"),
-            sum("sv").cast("bigint").as("st"))
-          // both split-candidate cumsums in one two-phase pass over the
-          // distinct-value domain (was: two single-task global windows;
-          // a plain-window rewrite was re-tried in r8 and measured 0.5 s
-          // SLOWER — the checkpoint pin also truncates the stump lineage
-          // that the later broadcast(s1)/broadcast(s2) re-evaluate)
-          val cand = graft.operators.ScaleRank.withGlobalRunningSums(
-              byV, Seq(col("v")), Seq(col("c") -> "nl", col("sv") -> "sl"))
-            .crossJoin(broadcast(tot))
-            .where(col("nl") < col("nt"))
-            .selectExpr("v", "nl", "sl", "nt", "st",
-              "CAST(floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) * 1e6) AS BIGINT) AS gain")
-          cand.orderBy(col("gain").desc, col("v")).limit(1)
-            .selectExpr("v AS thresh", "nl AS n_left", "nt - nl AS n_right",
-              "sl DIV nl AS pred_left", "(st - sl) DIV (nt - nl) AS pred_right")
+          .groupBy("x1", "x2", "y").agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        // (thresh, n_left, n_right, pred_left, pred_right)
+        def stump(vals: Seq[(Long, Long, Long)]): (Long, Long, Long, Long, Long) = {
+          val byV = vals.groupBy(_._1).toSeq
+            .map { case (v, rs) => (v, rs.map(_._2).sum, rs.map(_._3).sum) }
+            .sortBy(_._1)
+          val nt = byV.map(_._2).sum
+          val st = byV.map(_._3).sum
+          var nl = 0L
+          var sl = 0L
+          val cands = byV.flatMap { case (v, c, sv) =>
+            nl += c; sl += sv
+            if (nl < nt) {
+              val gain = math.floor((sl.toDouble * sl.toDouble / nl.toDouble +
+                (st - sl).toDouble * (st - sl).toDouble / (nt - nl).toDouble)
+                * 1e6).toLong
+              Some((v, nl, sl, gain))
+            } else None
+          }
+          val (v, nlB, slB, _) = cands.minBy { case (cv, _, _, g) => (-g, cv) }
+          (v, nlB, nt - nlB, slB / nlB, (st - slB) / (nt - nlB))
         }
-        val s1 = stump(data0.selectExpr("x1", "y"), "x1", "y")
-        val resid = data0.crossJoin(broadcast(s1))
-          .selectExpr("x2",
-            "y - CASE WHEN x1 <= thresh THEN pred_left ELSE pred_right END AS r")
-        val sseAfter1 = resid.agg(sum(col("r") * col("r"))
-          .cast("bigint").as("sse"))
-        val s2 = stump(resid.selectExpr("x2", "r AS y"), "x2", "y")
-        val resid2 = resid.crossJoin(broadcast(
-            s2.selectExpr("thresh AS t2", "pred_left AS pl2",
-              "pred_right AS pr2")))
-          .selectExpr("r - CASE WHEN x2 <= t2 THEN pl2 ELSE pr2 END AS r2")
-        val sseAfter2 = resid2.agg(sum(col("r2") * col("r2"))
-          .cast("bigint").as("sse"))
-        val r1 = s1.crossJoin(broadcast(sseAfter1))
-          .selectExpr("CAST(1 AS BIGINT) AS round", "'x1_discount_bp' AS feature",
-            "thresh", "n_left", "n_right", "pred_left", "pred_right",
-            "sse AS sse_after")
-        val r2 = s2.crossJoin(broadcast(sseAfter2))
-          .selectExpr("CAST(2 AS BIGINT) AS round", "'x2_size' AS feature",
-            "thresh", "n_left", "n_right", "pred_left", "pred_right",
-            "sse AS sse_after")
-        r1.union(r2).orderBy("round")
+        val (t1, nl1, nr1, pl1, pr1) =
+          stump(cen.map { case (x1, _, y, c) => (x1, c, y * c) })
+        val resid = cen.map { case (x1, x2, y, c) =>
+          (x2, y - (if (x1 <= t1) pl1 else pr1), c)
+        }
+        val sse1 = resid.map { case (_, r, c) => r * r * c }.sum
+        val (t2, nl2, nr2, pl2, pr2) =
+          stump(resid.map { case (x2, r, c) => (x2, c, r * c) })
+        val sse2 = resid.map { case (x2, r, c) =>
+          val r2 = r - (if (x2 <= t2) pl2 else pr2)
+          r2 * r2 * c
+        }.sum
+        Seq(
+          (1L, "x1_discount_bp", t1, nl1, nr1, pl1, pr1, sse1),
+          (2L, "x2_size", t2, nl2, nr2, pl2, pr2, sse2))
+          .toDF("round", "feature", "thresh", "n_left", "n_right",
+            "pred_left", "pred_right", "sse_after")
       },
       Some("""
         WITH data0 AS MATERIALIZED (

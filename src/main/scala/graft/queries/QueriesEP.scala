@@ -223,61 +223,59 @@ object QueriesEP extends QueryPack {
     // --------------------------------------------------------------- q577
     QDef("q577_naive_bayes",
       (s, dir) => {
+        // DRIVER COMPACTION over the vocabulary-bounded censuses (r10):
+        // the (lang x word) count table and the per-lang doc counts are
+        // tiny by construction, so vocabulary, smoothed log-likelihoods
+        // and priors are Scala arithmetic (Math.log == Spark ln); the
+        // cluster does exactly two tokenize passes — the census and the
+        // per-doc scoring sum against a broadcast word -> llw-vector
+        // table — and one groupBy(doc_id). The r9 form ran the grid
+        // window, vocab top-k, prior and x|langs| explode as separate
+        // jobs (5.7s at sf1, the documented exemption).
+        val sc3 = s
+        import sc3.implicits._
         val docs = t(s, dir, "documents")
           .where(col("text").isNotNull)
           .select(col("doc_id"), col("lang"),
             TextFunctions.words(col("text")).as("w"))
         val dw = docs.select(col("doc_id"), col("lang"),
           explode(col("w")).as("word"))
-        // ONE aggregated word-count frame feeds both the vocabulary and
-        // the per-lang counts — r8 tokenized the corpus three times
-        // (vocab, wc, sums: 6.0 s at sf1); caching raw dw instead was
-        // measured SLOWER at sf0.1 (1.8 → 2.4 s — the cache write beats
-        // the pass it saves only at sf1 scale). wcAll is (lang × word)
-        // rows — vocabulary-bounded, trivially cacheable — leaving
-        // exactly two tokenize passes (here and sums) at any scale.
-        val wcAll = dw.groupBy("lang", "word").agg(count(lit(1)).as("c"))
-        wcAll.cache(); wcAll.count()
-        // deterministic top-200 vocabulary
-        val vocab = wcAll.groupBy("word").agg(sum("c").as("cnt"))
-          .orderBy(col("cnt").desc, col("word")).limit(200)
-          .select("word")
-        vocab.cache(); vocab.count()
-        val langs = docs.select("lang").distinct()
-        // add-1 smoothed log-likelihood on the bounded (lang × vocab) grid
-        val wc = wcAll.join(broadcast(vocab), "word")
-          .select(col("lang"), col("word"), col("c"))
-        val grid = langs.crossJoin(broadcast(vocab))
-          .join(wc, Seq("lang", "word"), "left_outer")
-          .selectExpr("lang", "word", "coalesce(c, 0L) AS c")
-          .withColumn("tot", sum("c").over(
-            Window.partitionBy("lang")).cast("long"))
-          .selectExpr("lang AS clang", "word",
-            """CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (tot + 200)) * 1000000)
-               AS BIGINT) AS llw_micro""")
-        val nd = docs.groupBy("lang").agg(count(lit(1)).as("ndl"))
-        val prior = nd
-          .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndt"))))
-          .selectExpr("lang AS clang",
-            """CAST(floor(ln(CAST(ndl AS DOUBLE) / ndt) * 1000000)
-               AS BIGINT) AS prior_micro""")
-        // per-doc per-class word-likelihood sums (docs with no vocab
-        // words keep prior-only scores via the left join)
-        val sums = dw.join(broadcast(grid), Seq("word"))
-          .groupBy("doc_id", "clang")
-          .agg(sum("llw_micro").cast("long").as("sw"))
-        val scores = docs.select("doc_id", "lang")
-          .crossJoin(broadcast(prior))
-          .join(sums, Seq("doc_id", "clang"), "left_outer")
-          .selectExpr("doc_id", "lang", "clang",
-            "prior_micro + coalesce(sw, 0L) AS score")
+        val wcRows = dw.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // deterministic top-200 vocabulary (cnt desc, word asc)
+        val vocab = wcRows.groupBy(_._2).view
+          .mapValues(_.map(_._3).sum).toSeq
+          .sortBy { case (w, c) => (-c, w) }.take(200).map(_._1)
+        val vset = vocab.toSet
+        val ndRows = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val langs = ndRows.map(_._1).sorted
+        val ndt = ndRows.map(_._2).sum
+        val prior = ndRows.map { case (l, n) =>
+          l -> math.floor(math.log(n.toDouble / ndt) * 1000000).toLong
+        }.toMap
+        val wcMap = wcRows.filter(r => vset(r._2))
+          .map(r => (r._1, r._2) -> r._3).toMap
+        val tot = langs.map(l =>
+          l -> vocab.map(w => wcMap.getOrElse((l, w), 0L)).sum).toMap
+        // add-1 smoothed log-likelihood on the bounded (lang x vocab) grid
+        def llw(l: String, w: String): Long =
+          math.floor(math.log((wcMap.getOrElse((l, w), 0L) + 1).toDouble
+            / (tot(l) + 200)) * 1000000).toLong
+        val pivot = vocab.map(w => (w, langs.map(l => llw(l, w))))
+          .toDF("word", "ll")
+        val swCols = langs.indices.map(j =>
+          sum(element_at(col("ll"), j + 1)).as(s"sw$j"))
+        val sums = dw.join(broadcast(pivot), "word")
+          .groupBy("doc_id").agg(swCols.head, swCols.tail: _*)
         // argmax with smallest-clang tie-break (exactly the oracle's
-        // ORDER BY score DESC, clang): max score, then min clang at it
-        val best = scores.groupBy("doc_id").agg(max("score").as("ms"))
-        val pred = scores.join(best, "doc_id")
-          .where(col("score") === col("ms"))
-          .groupBy("doc_id", "lang").agg(min("clang").as("pred"))
-          .select("lang", "pred")
+        // ORDER BY score DESC, clang) via array_min over (-score, clang)
+        val cand = array(langs.indices.map(j => struct(
+          (-(lit(prior(langs(j))) + coalesce(col(s"sw$j"), lit(0L)))).as("n"),
+          lit(langs(j)).as("c"))): _*)
+        val pred = docs.select("doc_id", "lang")
+          .join(sums, Seq("doc_id"), "left_outer")
+          .select(col("lang"), array_min(cand).getField("c").as("pred"))
         pred.groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
             sum(when(col("lang") === col("pred"), 1L).otherwise(0L))

@@ -49,16 +49,20 @@ import sys
 # rewrite measured slower.
 # q478/q577 re-adjudicated in round 9 under the honest clearCache bench
 # protocol (the earlier ProbeQ22 run2 numbers reused run1's cached
-# frames via CacheManager plan-equality and understated both): q478's
-# r9 form halves its sf1 wall (16.6 -> 10.2 same-window A/B) at the
-# price of ~1s at sf0.1 (2.7 -> 3.4-4.6, window-dependent) — kept for
-# the scale that matters, exempt at the floor scale; q577 straddles
-# the 2s floor in both forms (1.8-2.4, window-dependent multi-pass
-# text shape).
+# frames via CacheManager plan-equality and understated both).
+# Round 10 CLOSED q453 (driver compaction over the bounded
+# (discount_bp x p_size x y) joint census: 3.0 -> 0.5 s at sf0.1,
+# 7.9 -> 0.84 s at sf1) and q577 (driver-side vocab/llw/prior from the
+# vocabulary-bounded censuses, one scoring groupBy: 1.8 -> 0.74 s at
+# sf0.1, 6.6 -> 1.8 s at sf1). q478's fan-out repartition also halved
+# its sf1 wall (10.2 -> 6.4 s) but its two tokenize passes keep it
+# above the sf0.1 floor (~3.5 s) — still exempt there. The remaining
+# three are inherent-shape exemptions: q225 bucket-join verify, q457
+# 3-hop x 10-hub BFS rounds, q616 co-purchase pair voting, each with
+# an in-code negative-result note from a rewrite measured slower.
 EXEMPT = {
-    "q225_link_jaccard",
-    "q453_stump_boost", "q457_hub_matrix", "q616_label_prop",
-    "q478_membership_inference", "q577_naive_bayes",
+    "q225_link_jaccard", "q457_hub_matrix", "q616_label_prop",
+    "q478_membership_inference",
 }
 
 # sf1 gate (round-9, r8 verdict #4): same ratio rule at the scale where
@@ -71,14 +75,14 @@ EXEMPT = {
 # table build (K contract grows with N, documented audit contract).
 # Left the seed in round 9: q214/q317 (census-quadratic rewrite,
 # 17.8s -> 0.86s) and q236 (collect_set pair gen, 5.7 -> 2.0s).
-# q185/q212 re-adjudicated in round 9: the honest clearCache protocol
-# puts q185 at 5-7s (3-6x, untouched bounded-iteration triangle shape)
-# and q212 at 6.6s (2.4x — an sh-cache rewrite measured SLOWER and was
-# reverted, note in QueriesBA.scala). q426/q403/q385 flagged only in
-# throttled windows (0.6-4.3s isolated/calm) and stay out.
+# Round 10 CLOSED q293 (8.5 -> 2.7 s — the single-partition-cache trap:
+# the map-only embeddings cache pinned the ADC scan to one task; now
+# repartitioned) and q185 (4.9 -> 3.9 s via the basket-array edge
+# build) — both under the 5 s floor. q426/q403/q385 cleared the same
+# way (basket-array edges / cached multiply-referenced frames) plus
+# Bench's isolated re-measure of would-be flags.
 EXEMPT_SF1 = EXEMPT | {
-    "q39_fuzzy_join", "q293_pq_adc_accuracy",
-    "q185_triangles", "q212_boilerplate",
+    "q39_fuzzy_join", "q212_boilerplate",
 }
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
