@@ -271,15 +271,20 @@ object QueriesDB extends QueryPack {
         val covered = scala.collection.mutable.HashSet[String]()
         val excluded = scala.collection.mutable.HashSet[String]()
         var cum = 0L
-        val out = (1 to 3).map { step =>
-          val (src, gain) = bySrc.view
+        // fewer sources than steps (or an empty corpus): the oracle's
+        // s2/s3 CTEs simply go empty, so emit no row for that step
+        val out = (1 to 3).flatMap { step =>
+          val cands = bySrc.view
             .filterNot { case (k, _) => excluded(k) }
             .map { case (k, gs) => (k, gs.count(g => !covered(g)).toLong) }
-            .minBy { case (k, gn) => (-gn, k) } // gain desc, source asc
-          covered ++= bySrc(src)
-          excluded += src
-          cum += gain
-          (step.toLong, src, gain, cum)
+          if (cands.isEmpty) None
+          else {
+            val (src, gain) = cands.minBy { case (k, gn) => (-gn, k) }
+            covered ++= bySrc(src)
+            excluded += src
+            cum += gain
+            Some((step.toLong, src, gain, cum))
+          }
         }
         out.toDF("step", "source", "gain", "cum")
       },

@@ -226,8 +226,10 @@ object QueriesDK extends QueryPack {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           .toSeq
-        // (thresh, n_left, n_right, pred_left, pred_right)
-        def stump(vals: Seq[(Long, Long, Long)]): (Long, Long, Long, Long, Long) = {
+        // (thresh, n_left, n_right, pred_left, pred_right); None when no
+        // split candidate exists (empty input or a single distinct value
+        // — the oracle's s1/s2 CTEs go empty the same way)
+        def stump(vals: Seq[(Long, Long, Long)]): Option[(Long, Long, Long, Long, Long)] = {
           val byV = vals.groupBy(_._1).toSeq
             .map { case (v, rs) => (v, rs.map(_._2).sum, rs.map(_._3).sum) }
             .sortBy(_._1)
@@ -244,26 +246,31 @@ object QueriesDK extends QueryPack {
               Some((v, nl, sl, gain))
             } else None
           }
-          val (v, nlB, slB, _) = cands.minBy { case (cv, _, _, g) => (-g, cv) }
-          (v, nlB, nt - nlB, slB / nlB, (st - slB) / (nt - nlB))
+          if (cands.isEmpty) None
+          else {
+            val (v, nlB, slB, _) = cands.minBy { case (cv, _, _, g) => (-g, cv) }
+            Some((v, nlB, nt - nlB, slB / nlB, (st - slB) / (nt - nlB)))
+          }
         }
-        val (t1, nl1, nr1, pl1, pr1) =
-          stump(cen.map { case (x1, _, y, c) => (x1, c, y * c) })
-        val resid = cen.map { case (x1, x2, y, c) =>
-          (x2, y - (if (x1 <= t1) pl1 else pr1), c)
-        }
-        val sse1 = resid.map { case (_, r, c) => r * r * c }.sum
-        val (t2, nl2, nr2, pl2, pr2) =
-          stump(resid.map { case (x2, r, c) => (x2, c, r * c) })
-        val sse2 = resid.map { case (x2, r, c) =>
-          val r2 = r - (if (x2 <= t2) pl2 else pr2)
-          r2 * r2 * c
-        }.sum
-        Seq(
-          (1L, "x1_discount_bp", t1, nl1, nr1, pl1, pr1, sse1),
-          (2L, "x2_size", t2, nl2, nr2, pl2, pr2, sse2))
-          .toDF("round", "feature", "thresh", "n_left", "n_right",
-            "pred_left", "pred_right", "sse_after")
+        val out = stump(cen.map { case (x1, _, y, c) => (x1, c, y * c) })
+          .toSeq.flatMap { case (t1, nl1, nr1, pl1, pr1) =>
+            val resid = cen.map { case (x1, x2, y, c) =>
+              (x2, y - (if (x1 <= t1) pl1 else pr1), c)
+            }
+            val sse1 = resid.map { case (_, r, c) => r * r * c }.sum
+            val r1 = (1L, "x1_discount_bp", t1, nl1, nr1, pl1, pr1, sse1)
+            val r2 = stump(resid.map { case (x2, r, c) => (x2, c, r * c) })
+              .map { case (t2, nl2, nr2, pl2, pr2) =>
+                val sse2 = resid.map { case (x2, r, c) =>
+                  val d = r - (if (x2 <= t2) pl2 else pr2)
+                  d * d * c
+                }.sum
+                (2L, "x2_size", t2, nl2, nr2, pl2, pr2, sse2)
+              }
+            r1 +: r2.toSeq
+          }
+        out.toDF("round", "feature", "thresh", "n_left", "n_right",
+          "pred_left", "pred_right", "sse_after")
       },
       Some("""
         WITH data0 AS MATERIALIZED (

@@ -262,27 +262,34 @@ object QueriesEP extends QueryPack {
         def llw(l: String, w: String): Long =
           math.floor(math.log((wcMap.getOrElse((l, w), 0L) + 1).toDouble
             / (tot(l) + 200)) * 1000000).toLong
-        val pivot = vocab.map(w => (w, langs.map(l => llw(l, w))))
-          .toDF("word", "ll")
-        val swCols = langs.indices.map(j =>
-          sum(element_at(col("ll"), j + 1)).as(s"sw$j"))
-        val sums = dw.join(broadcast(pivot), "word")
-          .groupBy("doc_id").agg(swCols.head, swCols.tail: _*)
-        // argmax with smallest-clang tie-break (exactly the oracle's
-        // ORDER BY score DESC, clang) via array_min over (-score, clang)
-        val cand = array(langs.indices.map(j => struct(
-          (-(lit(prior(langs(j))) + coalesce(col(s"sw$j"), lit(0L)))).as("n"),
-          lit(langs(j)).as("c"))): _*)
-        val pred = docs.select("doc_id", "lang")
-          .join(sums, Seq("doc_id"), "left_outer")
-          .select(col("lang"), array_min(cand).getField("c").as("pred"))
-        pred.groupBy("lang").agg(
-            count(lit(1)).as("n_docs"),
-            sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
-              .cast("long").as("n_correct"))
-          .selectExpr("lang", "n_docs", "n_correct",
-            "n_correct * 10000 DIV n_docs AS acc_bp")
-          .orderBy("lang")
+        if (langs.isEmpty) {
+          // empty corpus: no langs, empty board (the agg/argmax column
+          // builders below need >=1 lang)
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("lang", "n_docs", "n_correct", "acc_bp")
+        } else {
+          val pivot = vocab.map(w => (w, langs.map(l => llw(l, w))))
+            .toDF("word", "ll")
+          val swCols = langs.indices.map(j =>
+            sum(element_at(col("ll"), j + 1)).as(s"sw$j"))
+          val sums = dw.join(broadcast(pivot), "word")
+            .groupBy("doc_id").agg(swCols.head, swCols.tail: _*)
+          // argmax with smallest-clang tie-break (exactly the oracle's
+          // ORDER BY score DESC, clang) via array_min over (-score, clang)
+          val cand = array(langs.indices.map(j => struct(
+            (-(lit(prior(langs(j))) + coalesce(col(s"sw$j"), lit(0L)))).as("n"),
+            lit(langs(j)).as("c"))): _*)
+          val pred = docs.select("doc_id", "lang")
+            .join(sums, Seq("doc_id"), "left_outer")
+            .select(col("lang"), array_min(cand).getField("c").as("pred"))
+          pred.groupBy("lang").agg(
+              count(lit(1)).as("n_docs"),
+              sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+                .cast("long").as("n_correct"))
+            .selectExpr("lang", "n_docs", "n_correct",
+              "n_correct * 10000 DIV n_docs AS acc_bp")
+            .orderBy("lang")
+        }
       },
       Some(s"""
         WITH docs AS (

@@ -88,8 +88,10 @@ object QueriesY extends QueryPack {
             lit(0L).as("isL"), lit(1L).as("isO")))
         val row = tagged.groupBy("k")
           .agg(sum("isL").as("nl"), sum("isO").as("no"))
-          .agg(sum(when(col("no") === 0, col("nl")).otherwise(0L)).as("orph"),
-            sum(when(col("nl") === 0, 1L).otherwise(0L)).as("chl"))
+          .agg(coalesce(sum(when(col("no") === 0, col("nl")).otherwise(0L)),
+              lit(0L)).as("orph"), // empty tables: sums are NULL
+            coalesce(sum(when(col("nl") === 0, 1L).otherwise(0L)),
+              lit(0L)).as("chl"))
           .first()
         val (orphans, childless) = (row.getLong(0), row.getLong(1))
         val s2 = o.sparkSession
