@@ -175,7 +175,8 @@ object QueriesCW extends QueryPack {
           .groupBy("b").agg(count(lit(1)).as("s1"))
           .where(col("s1") >= minsup1)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val f1 = freq1.keys.toSeq.sorted
+        def nk(x: String) = (x != null, if (x == null) "" else x)
+        val f1 = freq1.keys.toSeq.sortBy(nk) // null brand sorts first
         val fb = baskets
           .select(col("ok"), array_intersect(col("bs"),
             typedLit(f1)).as("fb")) // bs sorted ⇒ intersect stays sorted
@@ -212,7 +213,7 @@ object QueriesCW extends QueryPack {
           val lift = 1000L * sup * nOrders / freq1(ta) * nOrders /
             freq1(tb) / freq1(tc)
           (ta, tb, tc, sup, lift)
-        }.sortBy { case (ta, tb, tc, sup, _) => (-sup, ta, tb, tc) }
+        }.sortBy { case (ta, tb, tc, sup, _) => (-sup, nk(ta), nk(tb), nk(tc)) }
           .take(15)
           .toDF("ta", "tb", "tc", "support", "lift_milli")
       },

@@ -279,7 +279,9 @@ object QueriesDB extends QueryPack {
             .map { case (k, gs) => (k, gs.count(g => !covered(g)).toLong) }
           if (cands.isEmpty) None
           else {
-            val (src, gain) = cands.minBy { case (k, gn) => (-gn, k) }
+            val (src, gain) = cands.minBy { case (k, gn) =>
+              (-gn, k != null, if (k == null) "" else k) // nulls-first ties
+            }
             covered ++= bySrc(src)
             excluded += src
             cum += gain

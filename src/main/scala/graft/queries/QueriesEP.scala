@@ -249,7 +249,10 @@ object QueriesEP extends QueryPack {
         val vset = vocab.toSet
         val ndRows = docs.groupBy("lang").agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        val langs = ndRows.map(_._1).sorted
+        // null lang is a legitimate group (NullInputSpec): sort it first
+        // (Spark's asc nulls-first); at most one null key exists, so the
+        // String ordering never sees null
+        val langs = ndRows.map(_._1).sortBy(l => (l != null, l))
         val ndt = ndRows.map(_._2).sum
         val prior = ndRows.map { case (l, n) =>
           l -> math.floor(math.log(n.toDouble / ndt) * 1000000).toLong
@@ -276,9 +279,11 @@ object QueriesEP extends QueryPack {
             .groupBy("doc_id").agg(swCols.head, swCols.tail: _*)
           // argmax with smallest-clang tie-break (exactly the oracle's
           // ORDER BY score DESC, clang) via array_min over (-score, clang)
+          def langLit(l: String) =
+            if (l == null) lit(null).cast("string") else lit(l)
           val cand = array(langs.indices.map(j => struct(
             (-(lit(prior(langs(j))) + coalesce(col(s"sw$j"), lit(0L)))).as("n"),
-            lit(langs(j)).as("c"))): _*)
+            langLit(langs(j)).as("c"))): _*)
           val pred = docs.select("doc_id", "lang")
             .join(sums, Seq("doc_id"), "left_outer")
             .select(col("lang"), array_min(cand).getField("c").as("pred"))
