@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.t
 import graft.dedup.Components
+import graft.functions.TextFunctions
 import graft.operators.Relational
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,19 +138,26 @@ object QueriesBB extends QueryPack {
         // rarity at word-TRIGRAM granularity: the synthetic vocab is tiny
         // (~31 words, every word is common) but trigram combinations are
         // sparse — the realistic shape for rare-content accounting
+        // native per-doc distinct trigram set (r10): no per-position
+        // slice+concat explode, no cross-corpus distinct shuffle — rows
+        // are unique by construction (doc_id x set element). split(" ")
+        // (not words()) matches the oracle's string_split exactly;
+        // repartition fans out the single-file scan.
         val dw = t(s, dir, "documents")
+          .repartition(col("doc_id"))
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
           .where(size(col("ws")) >= 3)
           .select(col("doc_id"), col("source"),
-            explode(expr("sequence(1, size(ws) - 2)")).as("i"), col("ws"))
-          .select(col("doc_id"), col("source"),
-            expr("concat_ws(' ', slice(ws, i, 3))").as("sh"))
-          .distinct()
-        val rare = dw.groupBy("sh").agg(countDistinct("doc_id").as("df"))
+            explode(TextFunctions.wordNgramSet(col("ws"), 3)).as("sh"))
+          .cache() // read by the rarity census AND the coverage join
+        dw.count()
+        // (doc_id, sh) is unique by construction (per-doc distinct set,
+        // one row per doc), so plain counts replace the countDistincts
+        val rare = dw.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= 2).select("sh")
         val tot = rare.agg(count(lit(1)).as("total_rare"))
         val nd = t(s, dir, "documents").groupBy("source")
-          .agg(countDistinct("doc_id").as("n_docs"))
+          .agg(count(lit(1)).as("n_docs"))
         dw.join(rare, "sh")
           .groupBy("source").agg(countDistinct("sh").as("n_rare_covered"))
           .join(nd, "source")

@@ -39,11 +39,16 @@ object QueriesCE extends QueryPack {
     // --------------------------------------------------------------- q327
     QDef("q327_modularity",
       (s, dir) => {
-        val os = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val edges = os.toDF("ok", "sa")
-          .join(os.toDF("ok", "sb"), "ok")
-          .where(col("sa") < col("sb"))
+        // basket-array pair build (q140/q390 pattern): one collect_set
+        // shuffle, supplier pairs map-side from the <=7-element basket
+        val edges = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+          .select(explode(expr(
+            """flatten(transform(ss, (x, i) ->
+               transform(slice(ss, i + 2, size(ss)), y -> struct(x AS sa, y AS sb))))"""))
+            .as("pr"))
+          .select(col("pr.sa").as("sa"), col("pr.sb").as("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("w")).cache()
         edges.count()
         val nat = t(s, dir, "supplier")
