@@ -39,16 +39,16 @@ object QueriesCE extends QueryPack {
     // --------------------------------------------------------------- q327
     QDef("q327_modularity",
       (s, dir) => {
-        // basket-array pair build (q140/q390 pattern): one collect_set
-        // shuffle, supplier pairs map-side from the <=7-element basket
-        val edges = t(s, dir, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
-          .select(explode(expr(
-            """flatten(transform(ss, (x, i) ->
-               transform(slice(ss, i + 2, size(ss)), y -> struct(x AS sa, y AS sb))))"""))
-            .as("pr"))
-          .select(col("pr.sa").as("sa"), col("pr.sb").as("sb"))
+        // MEASURED NEGATIVE RESULT (r10): the basket-array pair build
+        // (q140/q390 pattern) benched 2.6s vs 1.8s for this form at
+        // sf0.1 (and only 5.3->4.6s at sf1, both under that floor) —
+        // Catalyst reuses the distinct exchange for both self-join
+        // sides here, which the array form gives up. REVERTED.
+        val os = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val edges = os.toDF("ok", "sa")
+          .join(os.toDF("ok", "sb"), "ok")
+          .where(col("sa") < col("sb"))
           .groupBy("sa", "sb").agg(count(lit(1)).as("w")).cache()
         edges.count()
         val nat = t(s, dir, "supplier")
