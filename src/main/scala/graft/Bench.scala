@@ -1,8 +1,14 @@
 package graft
+
+import scala.jdk.CollectionConverters._
+
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver. Uses GraftSession.builder so the
   * benched plans carry the engine's tuned config (AQE, broadcast
-  * threshold, shuffle partitions). */
+  * threshold, shuffle partitions). Full-suite runs with a committed
+  * baseline for the same sf also run the 2x flag gate IN-PROCESS (after
+  * the isolated re-measure) and exit nonzero on a remaining non-exempt
+  * flag, so a round close cannot be green-by-staleness (r10 verdict #7). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +64,19 @@ object Bench {
     val baseQ: Map[String, Double] = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      Seq("BASELINE_local.json", "BASELINE_sf1.json").iterator.flatMap { f =>
+      // every committed BASELINE_*.json is a candidate; the embedded sf
+      // field decides the match (r10 advice: a hardcoded pair silently
+      // skipped the sf0.3 tier)
+      val baselineFiles = {
+        val d = java.nio.file.Paths.get(".")
+        val st = java.nio.file.Files.list(d)
+        try st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("BASELINE_") && n.endsWith(".json"))
+          .toSeq.sorted
+        finally st.close()
+      }
+      baselineFiles.iterator.flatMap { f =>
         val p = java.nio.file.Paths.get(f)
         if (!java.nio.file.Files.exists(p)) Iterator.empty
         else {
@@ -121,5 +139,42 @@ object Bench {
     val allRef = if (only.isEmpty) """"queries_all":"BENCH_local.json",""" else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${finalResults.size},$allRef$isoNote,"queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
+    // In-process flag gate (r10 verdict #7): identical rule to
+    // tools/check_vs_baseline.py — ratio > 2x AND above the sf floor AND
+    // not in the shared exemption file. Numbers here already include the
+    // isolated re-measure, so a nonzero exit is a real plan regression,
+    // not machine weather. Subset runs and dirs without a committed
+    // baseline skip it; SPARK_GRAFT_BENCH_NOGATE=1 is the dev override.
+    if (only.isEmpty && baseQ.nonEmpty &&
+        !sys.env.get("SPARK_GRAFT_BENCH_NOGATE").contains("1")) {
+      val exPath = java.nio.file.Paths.get("tools/exemptions.json")
+      val exempt: Set[String] =
+        if (!java.nio.file.Files.exists(exPath)) Set.empty
+        else {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val j = JsonMethods.parse(java.nio.file.Files.readString(exPath))
+          def names(field: String): Set[String] = j \ field match {
+            case JArray(vs) => vs.collect { case JString(s) => s }.toSet
+            case _          => Set.empty
+          }
+          names("base") ++
+            (if (floor == 5.0) names("sf1_extra") else Set.empty)
+        }
+      val flags = finalResults.filter { case (n, t) =>
+        t > floor && !exempt(n) &&
+          baseQ.get(n).exists(b => b >= 0 && t > 2.0 * math.max(b, 1e-4))
+      }
+      // stderr: the driver parses ONE JSON line from a ~2000-char stdout
+      // tail, so gate chatter must not displace it
+      flags.foreach { case (n, t) =>
+        System.err.println(f"GATE-FLAG $n: spark $t%.3fs vs baseline ${baseQ(n)}%.3fs = ${t / math.max(baseQ(n), 1e-4)}%.1fx")
+      }
+      if (flags.nonEmpty) {
+        System.err.println(s"gate: ${flags.size} non-exempt flag(s) — exiting nonzero")
+        sys.exit(1)
+      }
+      System.err.println("gate: ok (no non-exempt query exceeds 2x of baseline)")
+    }
   }
 }

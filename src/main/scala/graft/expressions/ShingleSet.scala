@@ -32,19 +32,6 @@ object ShingleMath {
     if (fast) XxHash64Function.hash(gram, StringType, 42L) % mod
     else HashMath.md5Long60(gram) % mod
 
-  /** Memoized hash of an OWNED gram (the caller must not hand in a view
-    * sharing a larger buffer — the cache would retain it). */
-  def hashGram(gram: UTF8String, mod: Long, fast: Boolean): Long = {
-    val cache = cacheFor(mod, fast)
-    val c = cache.get(gram)
-    if (c ne null) c.longValue()
-    else {
-      val h = rawHash(gram, mod, fast)
-      if (cache.size < CACHE_CAP) cache.put(gram, java.lang.Long.valueOf(h))
-      h
-    }
-  }
-
   /** Sorted distinct hashes of the char n-grams of `s`:
     * value-identical to
     * `sort_array(collect_set(md5Long60(substr(s, i, n)) % mod))` over
@@ -97,11 +84,50 @@ object ShingleMath {
 }
 
 object WordShingleMath {
+  /** The word-n-gram domain is NOT charset^n-bounded like char grams —
+    * on a real corpus it is effectively unbounded, so the char path's
+    * grow-only HashMap memo would retain ~10+ MB of owned gram keys per
+    * executor thread for the JVM lifetime and, once capped, keep paying
+    * the lookup on a collapsed hit rate (r10 advice). The word path
+    * instead uses a fixed-size DIRECT-MAPPED cache: 2^15 slots,
+    * overwrite on collision. Memory is strictly bounded (slot count ×
+    * gram size), hot templated grams stay resident, and an adversarial
+    * stream degrades to one equality check over the raw-hash cost —
+    * never to unbounded growth. */
+  private val SLOT_BITS = 15
+  private val SLOTS = 1 << SLOT_BITS
+  private final class DirectMap {
+    val keys = new Array[UTF8String](SLOTS)
+    val mods = new Array[Long](SLOTS)
+    val fasts = new Array[Boolean](SLOTS)
+    val vals = new Array[Long](SLOTS)
+  }
+  private val tlMap: ThreadLocal[DirectMap] =
+    ThreadLocal.withInitial(() => new DirectMap)
+
+  /** Cached hash of an OWNED gram (concatWs output is a fresh buffer). */
+  private def hashWordGram(gram: UTF8String, mod: Long, fast: Boolean): Long = {
+    val m = tlMap.get()
+    // Fibonacci spread of the JVM hashCode into the slot index
+    val idx = (gram.hashCode() * 0x9e3779b9) >>> (32 - SLOT_BITS)
+    val k = m.keys(idx)
+    if ((k ne null) && m.mods(idx) == mod && m.fasts(idx) == fast &&
+        k.equals(gram)) {
+      m.vals(idx)
+    } else {
+      val h = ShingleMath.rawHash(gram, mod, fast)
+      m.keys(idx) = gram
+      m.mods(idx) = mod
+      m.fasts(idx) = fast
+      m.vals(idx) = h
+      h
+    }
+  }
+
   /** Sorted distinct hashes of the space-joined word n-grams of `w`:
     * value-identical to
     * `sort_array(collect_set(md5Long60(concat_ws(' ', w[i..i+n))) % mod))`
-    * (or xxhash64 in the fast profile) over i ∈ [0, size-n], sharing
-    * [[ShingleMath]]'s gram→hash memo via the joined gram string. */
+    * (or xxhash64 in the fast profile) over i ∈ [0, size-n]. */
   def wordShingleSet(w: ArrayData, n: Int, mod: Long, fast: Boolean): ArrayData = {
     val m = w.numElements()
     val cnt = m - n + 1
@@ -113,7 +139,7 @@ object WordShingleMath {
       val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) { parts(j) = w.getUTF8String(i + j); j += 1 }
-      hs(i) = ShingleMath.hashGram(UTF8String.concatWs(sep, parts: _*), mod, fast)
+      hs(i) = hashWordGram(UTF8String.concatWs(sep, parts: _*), mod, fast)
       i += 1
     }
     java.util.Arrays.sort(hs)
@@ -136,6 +162,15 @@ object MinhashMath {
   def minhashFromSet(sh: ArrayData, nHashes: Int): ArrayData = {
     val m31 = 2147483647L
     val n = sh.numElements()
+    // empty shingle set → empty signature, NOT nHashes Long.MaxValue
+    // sentinels: with the sentinel every empty doc shared one signature
+    // and would band-collide with every other empty doc in LSH (r10
+    // advice). The composed collect_set path emits NO row for an empty
+    // doc, so there is no signature to be identical to; an empty array
+    // keeps element_at-style band extraction null (dropped by equi-
+    // joins) for any future unguarded caller. Current callers pre-filter
+    // (size >= shingle length), so this is a latent-contract fix.
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val out = new Array[Long](nHashes)
     var j = 0
     while (j < nHashes) {

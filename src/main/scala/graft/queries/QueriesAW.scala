@@ -64,8 +64,8 @@ object QueriesAW extends QueryPack {
       .select("a", "b")
   }
   private val edgesSql = """
-    lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
-    e0 AS (
+    lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT a.l_partkey AS a, b.l_partkey AS b
       FROM lp a JOIN lp b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2)"""
@@ -144,20 +144,20 @@ object QueriesAW extends QueryPack {
           k = 3, rounds = 3).orderBy("round"),
       Some(s"""
         WITH $edgesSql,
-        d1 AS (SELECT v, count(*) AS deg FROM
+        d1 AS MATERIALIZED (SELECT v, count(*) AS deg FROM
                  (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
-        k1 AS (SELECT v FROM d1 WHERE deg >= 3),
-        e1 AS (SELECT a, b FROM e0
+        k1 AS MATERIALIZED (SELECT v FROM d1 WHERE deg >= 3),
+        e1 AS MATERIALIZED (SELECT a, b FROM e0
                WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
-        d2 AS (SELECT v, count(*) AS deg FROM
+        d2 AS MATERIALIZED (SELECT v, count(*) AS deg FROM
                  (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
-        k2 AS (SELECT v FROM d2 WHERE deg >= 3),
-        e2 AS (SELECT a, b FROM e1
+        k2 AS MATERIALIZED (SELECT v FROM d2 WHERE deg >= 3),
+        e2 AS MATERIALIZED (SELECT a, b FROM e1
                WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
-        d3 AS (SELECT v, count(*) AS deg FROM
+        d3 AS MATERIALIZED (SELECT v, count(*) AS deg FROM
                  (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
-        k3 AS (SELECT v FROM d3 WHERE deg >= 3),
-        e3 AS (SELECT a, b FROM e2
+        k3 AS MATERIALIZED (SELECT v FROM d3 WHERE deg >= 3),
+        e3 AS MATERIALIZED (SELECT a, b FROM e2
                WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
         SELECT CAST(1 AS BIGINT) AS round,
                (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM

@@ -181,27 +181,27 @@ object QueriesAY extends QueryPack {
           .orderBy("hop")
       },
       Some("""
-        WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
-        e AS (
+        WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
+        e AS MATERIALIZED (
           SELECT a.l_partkey AS a, b.l_partkey AS b
           FROM lp a JOIN lp b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2 HAVING count(*) >= 2),
-        adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
-        src AS (
+        adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        src AS MATERIALIZED (
           SELECT u AS v FROM (SELECT u, count(*) AS deg FROM adj GROUP BY 1)
           ORDER BY deg DESC, u LIMIT 1),
-        h1 AS (
+        h1 AS MATERIALIZED (
           SELECT DISTINCT adj.v FROM adj JOIN src ON adj.u = src.v
           WHERE adj.v NOT IN (SELECT v FROM src)),
-        vis1 AS (SELECT v FROM src UNION SELECT v FROM h1),
-        h2 AS (
+        vis1 AS MATERIALIZED (SELECT v FROM src UNION SELECT v FROM h1),
+        h2 AS MATERIALIZED (
           SELECT DISTINCT adj.v FROM adj JOIN h1 ON adj.u = h1.v
           WHERE adj.v NOT IN (SELECT v FROM vis1)),
-        vis2 AS (SELECT v FROM vis1 UNION SELECT v FROM h2),
-        h3 AS (
+        vis2 AS MATERIALIZED (SELECT v FROM vis1 UNION SELECT v FROM h2),
+        h3 AS MATERIALIZED (
           SELECT DISTINCT adj.v FROM adj JOIN h2 ON adj.u = h2.v
           WHERE adj.v NOT IN (SELECT v FROM vis2)),
-        vis3 AS (SELECT v FROM vis2 UNION SELECT v FROM h3)
+        vis3 AS MATERIALIZED (SELECT v FROM vis2 UNION SELECT v FROM h3)
         SELECT CAST(1 AS BIGINT) AS hop,
                (SELECT count(*) FROM h1) AS frontier,
                (SELECT count(*) FROM vis1) AS reached

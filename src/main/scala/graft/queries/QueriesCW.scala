@@ -195,12 +195,27 @@ object QueriesCW extends QueryPack {
           (a, b) <- freq2; (a2, c) <- freq2
           if a2 == a && b < c && freq2((b, c))
         } yield (a, b, c)).toSet
+        if (cand.isEmpty) {
+          // no candidate triple survives freq2 — nothing to count
+          Seq.empty[(String, String, String, Long, Long)]
+            .toDF("ta", "tb", "tc", "support", "lift_milli")
+        } else {
+        // classic Apriori pruning BEFORE the fan-out (r10 verdict #4):
+        // a counted triple must be in `cand`, and every element of a
+        // cand triple is in candItems, so intersecting each basket down
+        // to candItems first shrinks the C(|fb|,3) map-side enumeration
+        // without changing any surviving (ta,tb,tc) count — the
+        // post-aggregate cand filter below stays as the exact gate.
+        val candItems = cand.toSeq.flatMap { case (a, b, c) => Seq(a, b, c) }
+          .distinct.sortBy(nk)
+        val fb3 = fb.select(array_intersect(col("fb"),
+          typedLit(candItems)).as("fb")) // fb sorted ⇒ stays sorted
         val tripleCols = expr(
           """flatten(transform(fb, (x, i) ->
              flatten(transform(slice(fb, i + 2, size(fb)), (y, j) ->
                transform(slice(fb, i + j + 3, size(fb)),
                  z -> struct(x AS ta, y AS tb, z AS tc))))))""")
-        val sup3 = fb.select(tripleCols.as("ts"))
+        val sup3 = fb3.select(tripleCols.as("ts"))
           .select(explode(col("ts")).as("tr"))
           .groupBy(col("tr.ta").as("ta"), col("tr.tb").as("tb"),
             col("tr.tc").as("tc"))
@@ -216,6 +231,7 @@ object QueriesCW extends QueryPack {
         }.sortBy { case (ta, tb, tc, sup, _) => (-sup, nk(ta), nk(tb), nk(tc)) }
           .take(15)
           .toDF("ta", "tb", "tc", "support", "lift_milli")
+        }
       },
       Some("""
         WITH baskets AS (

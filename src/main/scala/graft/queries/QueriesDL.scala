@@ -208,31 +208,66 @@ object QueriesDL extends QueryPack {
           .select(col("pr.a").as("a"), col("pr.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
           .where(col("cnt") >= 2).select("a", "b")
-        val adj = e.select(col("a").as("u"), col("b").as("v"))
-          .union(e.select(col("b").as("u"), col("a").as("v")))
-        adj.cache(); adj.count()
-        val hubs = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-          .orderBy(col("deg").desc, col("u")).limit(10)
-          .select(col("u").as("h")).localCheckpoint()
-        var dist = hubs.select(col("h").as("src"), col("h").as("node"),
-          lit(0L).as("hop"))
-        for (hp <- 1 to 3) {
-          val nxt = dist.where(col("hop") === (hp - 1))
-            .withColumnRenamed("node", "u").join(adj, Seq("u"))
-            .select(col("src"), col("v").as("cand")).distinct()
-            .join(dist.select(col("src").as("s2"), col("node")),
-              col("src") === col("s2") && col("cand") === col("node"),
-              "left_anti")
-            .select(col("src"), col("cand").as("node"),
-              lit(hp.toLong).as("hop"))
-          dist = dist.union(nxt).localCheckpoint()
+        e.cache()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q428/q216 recipe, r10 verdict #6): the
+          // repeat-pair census is orders of magnitude smaller than
+          // lineitem, so hub selection AND all 10 3-hop BFS expansions
+          // run driver-side over the collected edge list — one job
+          // instead of 3 × (join + distinct + anti-join + checkpoint)
+          // shuffle rounds of pure job floor. Output is exactly 100 rows.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val adjM = (half ++ half.map(_.swap)).groupMap(_._1)(_._2)
+          val hubs = adjM.toSeq.map { case (u, vs) => (u, vs.size) }
+            .sortBy { case (u, d) => (-d, u) }.take(10).map(_._1)
+          val hops: Map[Long, scala.collection.Map[Long, Long]] =
+            hubs.map { src =>
+              val hop = scala.collection.mutable.Map(src -> 0L)
+              var frontier: Seq[Long] = Seq(src)
+              for (h <- 1 to 3) {
+                frontier = frontier
+                  .flatMap(v => adjM.getOrElse(v, Array.empty[Long]))
+                  .distinct.filterNot(v => hop.contains(v))
+                frontier.foreach(v => hop(v) = h.toLong)
+              }
+              src -> hop
+            }.toMap
+          val sc2 = s
+          import sc2.implicits._
+          (for (src <- hubs; dst <- hubs)
+            yield (src, dst, hops(src).getOrElse(dst, -1L)))
+            .sortBy(t => (t._1, t._2))
+            .toDF("src", "dst", "hop")
+        } else {
+          // scale fallback: the multi-source Pregel expansion (one
+          // shuffle per round regardless of source count)
+          val adj = e.select(col("a").as("u"), col("b").as("v"))
+            .union(e.select(col("b").as("u"), col("a").as("v")))
+          adj.cache(); adj.count()
+          val hubs = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+            .orderBy(col("deg").desc, col("u")).limit(10)
+            .select(col("u").as("h")).localCheckpoint()
+          var dist = hubs.select(col("h").as("src"), col("h").as("node"),
+            lit(0L).as("hop"))
+          for (hp <- 1 to 3) {
+            val nxt = dist.where(col("hop") === (hp - 1))
+              .withColumnRenamed("node", "u").join(adj, Seq("u"))
+              .select(col("src"), col("v").as("cand")).distinct()
+              .join(dist.select(col("src").as("s2"), col("node")),
+                col("src") === col("s2") && col("cand") === col("node"),
+                "left_anti")
+              .select(col("src"), col("cand").as("node"),
+                lit(hp.toLong).as("hop"))
+            dist = dist.union(nxt).localCheckpoint()
+          }
+          hubs.select(col("h").as("src"))
+            .crossJoin(hubs.select(col("h").as("dst")))
+            .join(dist.select(col("src").as("s3"), col("node"), col("hop")),
+              col("src") === col("s3") && col("dst") === col("node"), "left")
+            .selectExpr("src", "dst", "coalesce(hop, -1) AS hop")
+            .orderBy("src", "dst")
         }
-        hubs.select(col("h").as("src"))
-          .crossJoin(hubs.select(col("h").as("dst")))
-          .join(dist.select(col("src").as("s3"), col("node"), col("hop")),
-            col("src") === col("s3") && col("dst") === col("node"), "left")
-          .selectExpr("src", "dst", "coalesce(hop, -1) AS hop")
-          .orderBy("src", "dst")
       },
       Some("""
         WITH lp AS MATERIALIZED (

@@ -50,7 +50,9 @@ object QueriesDN extends QueryPack {
     // (Σr², Σru, Σu²) for v1, sse_before AND sse_after — the v-update
     // and both error sums finish driver-side in BigInt over the ≤|brand|
     // collected rows (r7 verdict #2/#4: was an eager count + 5 chained
-    // agg/join jobs; now 2 jobs total, same shape you'd run at 100 TB).
+    // agg/join jobs; r10 verdict #1 folded the v0-init job too — v is a
+    // pure function of brand computed inline, so ONE job total, same
+    // shape you'd run at 100 TB).
     QDef("q463_als_rank1",
       (s, dir) => {
         val ratings = t(s, dir, "lineitem")
@@ -62,30 +64,26 @@ object QueriesDN extends QueryPack {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
           .agg(count(lit(1)).cast("long").as("r"))
-          .cache()
-        // job 1 (also materializes the ratings cache): bounded brand
-        // domain with its hash-initialized factor
-        val v0Rows = ratings.select("brand").distinct()
+          // v0 is a pure function of the brand key — no init job, no
+          // distinct+collect+broadcast round-trip (r10 verdict #1): the
+          // factor rides along as a column and the driver reads it back
+          // off the ≤|brand| sufficient-statistics rows
           .withColumn("v", lit(1000L) +
             pmod(PortableHash.md5Long(col("brand"), salt = "als~"), lit(500L)))
-          .collect()
-        val v0 = v0Rows.map(r => r.getAs[String]("brand") ->
-          BigInt(r.getAs[Long]("v"))).toMap
+          .cache()
         val sc = s
         import sc.implicits._
-        val v0df = broadcast(v0Rows.map(r =>
-          (r.getAs[String]("brand"), r.getAs[Long]("v"))).toSeq
-          .toDF("brand", "v"))
-        val users = ratings.join(v0df, "brand")
+        val users = ratings
           .groupBy("cust").agg(
             sum(col("r") * col("v")).cast("bigint").as("num"),
             sum(col("v") * col("v")).cast("bigint").as("den"))
           .selectExpr("cust", "num * 1000000 DIV den AS u")
-        // job 2: the single sufficient-statistics pass (decimal sums —
-        // Σu² crosses int64 at 100×)
+        // THE job: the single sufficient-statistics pass (decimal sums —
+        // Σu² crosses int64 at 100×); also materializes the ratings cache
         val pb = ratings.join(users, "cust")
           .groupBy("brand").agg(
             count(lit(1)).cast("long").as("n_raters"),
+            max(col("v")).as("v"), // constant per brand
             sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"),
             sum(expr("CAST(r AS DECIMAL(38,0)) * u")).as("sru"),
             sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"))
@@ -97,7 +95,7 @@ object QueriesDN extends QueryPack {
         val out = pb.map { r =>
           val brand = r.getAs[String]("brand")
           val (srr, sru, suu) = (big(r, "srr"), big(r, "sru"), big(r, "suu"))
-          val vb = v0(brand)
+          val vb = BigInt(r.getAs[Long]("v"))
           val v1b = if (suu > 0) sru * M6 / suu else BigInt(0)
           sse0 += M12 * srr - 2 * M6 * vb * sru + vb * vb * suu
           sse1 += M12 * srr - 2 * M6 * v1b * sru + v1b * v1b * suu

@@ -278,11 +278,18 @@ object QueriesEP extends QueryPack {
           val sums = dw.join(broadcast(pivot), "word")
             .groupBy("doc_id").agg(swCols.head, swCols.tail: _*)
           // argmax with smallest-clang tie-break (exactly the oracle's
-          // ORDER BY score DESC, clang) via array_min over (-score, clang)
+          // ORDER BY score DESC, clang). DuckDB's ORDER BY is NULLS LAST
+          // while Spark's struct-min compares a null field FIRST, so the
+          // comparison key maps the null-lang class to a U+FFFF sentinel
+          // (sorts after every real lang code) and the true — possibly
+          // null — lang rides along as payload, only read back after the
+          // min. The payload field never participates in the comparison:
+          // the sort key is unique per candidate.
           def langLit(l: String) =
             if (l == null) lit(null).cast("string") else lit(l)
           val cand = array(langs.indices.map(j => struct(
             (-(lit(prior(langs(j))) + coalesce(col(s"sw$j"), lit(0L)))).as("n"),
+            lit(if (langs(j) == null) "\uffff" else langs(j)).as("ck"),
             langLit(langs(j)).as("c"))): _*)
           val pred = docs.select("doc_id", "lang")
             .join(sums, Seq("doc_id"), "left_outer")

@@ -183,27 +183,39 @@ object QueriesFA extends QueryPack {
         val cust = t(s, dir, "customer")
           .selectExpr("c_custkey", "c_mktsegment AS seg",
             "CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS labeled")
-        val cp = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        // Basket-array form (r10 verdict #5, the q140/q464 pattern): ONE
+        // pk-keyed shuffle builds the per-part unlabeled/labeled customer
+        // sets (collect_set dedups map-side, replacing the old
+        // distinct(cust,pk) exchange AND the pk self-join); the
+        // (unlabeled, labeled-neighbor) vote pairs are enumerated
+        // MAP-SIDE from the two arrays. u ≠ nb is structural — labeled
+        // (custkey%3=0) and unlabeled are disjoint. countDistinct(nb)
+        // still dedups a pair that shares several parts; that pair
+        // stream is the inherent cost of the query at any layout.
+        val byPk = t(s, dir, "orders").select("o_orderkey", "o_custkey")
           .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
             expr("o_orderkey = l_orderkey"))
-          .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("pk"))
-          .distinct()
-        // NOTE: caching cp was measured SLOWER (3.0 -> 3.6 s at sf0.1) —
-        // Catalyst already reuses the distinct exchange for both sides
-        val votes = cp.join(cust.where(col("labeled") === 0L)
-            .select(col("c_custkey"), col("seg").as("true_seg")), Seq("c_custkey"))
-          .join(cp.selectExpr("c_custkey AS nb", "pk")
-            .join(cust.where(col("labeled") === 1L)
-              .selectExpr("c_custkey AS nb", "seg AS nb_seg"), Seq("nb")),
-            Seq("pk"))
-          .where(col("c_custkey") =!= col("nb"))
-          .groupBy("c_custkey", "true_seg", "nb_seg")
-          .agg(countDistinct("nb").as("votes"))
-        val w = Window.partitionBy("c_custkey")
-          .orderBy(col("votes").desc, col("nb_seg"))
-        val pred = votes.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .selectExpr("c_custkey", "true_seg", "nb_seg AS pred_seg")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(
+            collect_set(when(col("labeled") === 0L,
+              struct(col("c_custkey"), col("seg")))).as("us"),
+            collect_set(when(col("labeled") === 1L,
+              struct(col("c_custkey").as("nb"), col("seg").as("nb_seg"))))
+              .as("ls"))
+          .where(size(col("us")) > 0 && size(col("ls")) > 0)
+        val votes = byPk
+          .select(explode(col("us")).as("u"), col("ls"))
+          .select(col("u.c_custkey").as("c_custkey"),
+            col("u.seg").as("true_seg"), explode(col("ls")).as("l"))
+          .groupBy(col("c_custkey"), col("true_seg"),
+            col("l.nb_seg").as("nb_seg"))
+          .agg(countDistinct(col("l.nb")).as("votes"))
+        // argmax (votes desc, nb_seg asc) as min(struct(-votes, nb_seg))
+        // — an aggregate instead of a row_number window pass
+        val pred = votes.groupBy("c_custkey", "true_seg")
+          .agg(min(struct((-col("votes")).as("nv"), col("nb_seg"))).as("m"))
+          .selectExpr("c_custkey", "true_seg", "m.nb_seg AS pred_seg")
         pred.groupBy("true_seg").agg(
             count(lit(1)).cast("long").as("n_eval"),
             sum(when(col("pred_seg") === col("true_seg"), 1L).otherwise(0L))

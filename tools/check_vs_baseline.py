@@ -60,10 +60,20 @@ import sys
 # three are inherent-shape exemptions: q225 bucket-join verify, q457
 # 3-hop x 10-hub BFS rounds, q616 co-purchase pair voting, each with
 # an in-code negative-result note from a rewrite measured slower.
-EXEMPT = {
-    "q225_link_jaccard", "q457_hub_matrix", "q616_label_prop",
-    "q478_membership_inference",
-}
+# Round 11 CLOSED q457 (dual-path driver BFS over the <=2M-edge census,
+# the q428 recipe: 2.6 -> 1.4 s sf0.1, 5.4 -> 2.7 s sf1) and q616
+# (basket-array vote pairs — one pk-keyed collect_set shuffle replacing
+# distinct + pk self-join, struct-argmax replacing the row_number
+# window: 2.7 -> 1.4 s sf0.1, 10.2 -> 3.1 s sf1). Remaining: q225
+# bucket-join verify and q478 two-pass tokenize, each with an in-code
+# negative-result note from a rewrite measured slower.
+#
+# The authoritative list lives in tools/exemptions.json so graft.Bench's
+# in-process gate (round-11, r10 verdict #7) and this script cannot drift.
+import os
+_EX = json.load(open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "exemptions.json")))
+EXEMPT = set(_EX["base"])
 
 # sf1 gate (round-9, r8 verdict #4): same ratio rule at the scale where
 # ratios measure plans, with a 5s floor (the sf1 suite carries ~10x the
@@ -81,9 +91,7 @@ EXEMPT = {
 # build) — both under the 5 s floor. q426/q403/q385 cleared the same
 # way (basket-array edges / cached multiply-referenced frames) plus
 # Bench's isolated re-measure of would-be flags.
-EXEMPT_SF1 = EXEMPT | {
-    "q39_fuzzy_join", "q212_boilerplate",
-}
+EXEMPT_SF1 = EXEMPT | set(_EX["sf1_extra"])
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local.json"
 base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_local.json"
