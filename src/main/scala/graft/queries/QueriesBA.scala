@@ -177,23 +177,28 @@ object QueriesBA extends QueryPack {
     QDef("q212_boilerplate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+          // single-file scan = ONE partition; fan out BEFORE the native
+          // per-doc gram-set pass or it runs in one task (q478 pattern)
+          .repartition(col("doc_id"))
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
           .where(size(col("ws")) >= 5)
-        // explode positions, not the shingle array: the generator child is
-        // re-evaluated per output row (see verify-skill gotcha)
-        val sh = docs
-          .select(col("doc_id"), col("source"),
-            explode(expr("sequence(1, size(ws) - 4)")).as("i"), col("ws"))
-          .select(col("doc_id"), col("source"),
-            expr("concat_ws(' ', slice(ws, i, 5))").as("sh"))
-          .distinct()
+        // r11 (the q217 recipe): the native per-doc distinct gram set
+        // (WordNgramSet, one pass per row) replaces explode-positions +
+        // concat_ws + the corpus-wide .distinct() — the wide shingle
+        // strings now dedup INSIDE the row before anything shuffles, and
+        // df collapses from countDistinct(doc_id) to a plain count
+        // (each (sh, doc) pair exists exactly once by construction).
         // MEASURED NEGATIVE RESULT (r9, clearCache bench protocol):
         // caching sh (read by dfreq and the join-back) benched 6.7 s vs
         // 6.3 s for the uncached form at sf1 and was reverted — writing
         // the wide shingle strings to the cache costs as much as the
         // second derivation it saves; Catalyst already shares the
         // exchange where it can.
-        val dfreq = sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
+        val sh = docs
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.TextFunctions.wordNgramSet(col("ws"), 5))
+              .as("sh"))
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         sh.join(dfreq, "sh")
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("n_sh"),

@@ -196,7 +196,28 @@ object QueriesBD extends QueryPack {
     QDef("q225_link_jaccard",
       (s, dir) => {
         val e = edges(s, dir).cache()
-        e.count() // eager: four subtrees below
+        val nEdges = e.count() // eager: four subtrees below
+        if (nEdges <= 2000000L) {
+          // dual-path (the q428/q457 recipe, round 11): the repeat-pair
+          // census is tiny (3.6k edges sf0.1 / 36k sf1), so neighbor
+          // sets, per-edge intersections and the top-20 all run driver-
+          // side — one job instead of 3 shuffled self-joins + rollup.
+          // The distributed wedge plan below stays as the scale path.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nbr = (half ++ half.map(_.swap)).groupMap(_._1)(_._2)
+            .map { case (k, v) => k -> v.toSet }
+          val out = half.map { case (a, b) =>
+            val na = nbr(a); val nb = nbr(b)
+            val (sm, lg) = if (na.size <= nb.size) (na, nb) else (nb, na)
+            val common = sm.count(lg.contains).toLong
+            val (da, db) = (na.size.toLong, nb.size.toLong)
+            (a, b, common, da, db, common * 10000L / (da + db - common))
+          }.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20)
+          val sc2 = s
+          import sc2.implicits._
+          out.toSeq
+            .toDF("a", "b", "common", "deg_a", "deg_b", "jacc_bp")
+        } else {
         val deg = e.select(col("a").as("src"))
           .union(e.select(col("b").as("src")))
           .groupBy("src").agg(count(lit(1)).as("deg"))
@@ -226,6 +247,7 @@ object QueriesBD extends QueryPack {
             "common * 10000 DIV (deg_a + deg_b - common) AS jacc_bp")
           .orderBy(col("jacc_bp").desc, col("a"), col("b"))
           .limit(20)
+        }
       },
       Some(s"""
         WITH $edgesSql,

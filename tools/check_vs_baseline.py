@@ -61,12 +61,16 @@ import sys
 # 3-hop x 10-hub BFS rounds, q616 co-purchase pair voting, each with
 # an in-code negative-result note from a rewrite measured slower.
 # Round 11 CLOSED q457 (dual-path driver BFS over the <=2M-edge census,
-# the q428 recipe: 2.6 -> 1.4 s sf0.1, 5.4 -> 2.7 s sf1) and q616
+# the q428 recipe: 2.6 -> 1.4 s sf0.1, 5.4 -> 2.7 s sf1), q616
 # (basket-array vote pairs — one pk-keyed collect_set shuffle replacing
 # distinct + pk self-join, struct-argmax replacing the row_number
-# window: 2.7 -> 1.4 s sf0.1, 10.2 -> 3.1 s sf1). Remaining: q225
-# bucket-join verify and q478 two-pass tokenize, each with an in-code
-# negative-result note from a rewrite measured slower.
+# window: 2.7 -> 1.4 s sf0.1, 10.2 -> 3.1 s sf1), q225 (driver-side
+# neighbor-set intersections over the 3.6k/36k-edge census: 2.9 ->
+# 1.4 s sf0.1, 4.4 -> 3.1 s sf1) and q212 (native WordNgramSet per-doc
+# distinct grams + repartition off the single-file scan: 6.3 -> 4.0 s
+# sf1). Remaining: q478 two-pass tokenize (sf0.1 floor only) and q39
+# FastSS-vs-hash-join (sf1), each with an in-code negative-result note
+# from a rewrite measured slower.
 #
 # The authoritative list lives in tools/exemptions.json so graft.Bench's
 # in-process gate (round-11, r10 verdict #7) and this script cannot drift.
