@@ -50,6 +50,14 @@ object TextFunctions {
       graft.expressions.WordNgramSet(
         org.apache.spark.sql.GraftColumnBridge.expression(w), n))
 
+  /** Sorted per-row n-gram histogram (array<struct<g, c>>) — the
+    * counting sibling of [[wordNgramSet]] for model-scoring passes that
+    * need per-doc gram multiplicities without per-position explosion. */
+  def wordNgramCounts(w: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordNgramCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(w), n))
+
   /** Character n-grams of string column `c`. */
   def charNgrams(c: String, n: Int): Column =
     when(length(col(c)) < n, array().cast("array<string>")).otherwise(

@@ -278,6 +278,14 @@ object QueriesDQ extends QueryPack {
         // for h; r9's first cut cached the raw exploded bigrams, which
         // benched SLOWER at sf0.1 — the cache write of the per-bigram
         // frame beats the pass it saves only at sf1).
+        // MEASURED NEGATIVE RESULT (r11, isolated Bench min): collapsing
+        // to ONE tokenize pass via the native per-doc bigram HISTOGRAM
+        // (WordNgramCounts, cached compact array<struct<g,c>> per doc,
+        // nll weighted by count) benched 3.0 s vs 2.8 s at sf0.1 and
+        // 5.9 s vs 4.8 s at sf1 and was reverted: the corpus has almost
+        // no within-doc bigram repetition, so the histogram saves no
+        // volume and its per-row TreeMap + struct allocation replaces a
+        // codegen'd explode.
         def bigrams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("w", TextFunctions.words(col("text")))
           .where(size(col("w")) >= 2)
