@@ -39,35 +39,37 @@ object QueriesCE extends QueryPack {
     // --------------------------------------------------------------- q327
     QDef("q327_modularity",
       (s, dir) => {
-        // MEASURED NEGATIVE RESULT (r10): the basket-array pair build
-        // (q140/q390 pattern) benched 2.6s vs 1.8s for this form at
-        // sf0.1 (and only 5.3->4.6s at sf1, both under that floor) —
-        // Catalyst reuses the distinct exchange for both self-join
-        // sides here, which the array form gives up. REVERTED.
-        val os = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val edges = os.toDF("ok", "sa")
-          .join(os.toDF("ok", "sb"), "ok")
-          .where(col("sa") < col("sb"))
-          .groupBy("sa", "sb").agg(count(lit(1)).as("w")).cache()
-        edges.count()
-        val nat = t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))
-        val m = edges.agg(sum("w").cast("bigint").as("m"))
-        val deg = edges.selectExpr("sa AS sk", "w")
-          .union(edges.selectExpr("sb AS sk", "w"))
-          .groupBy("sk").agg(sum("w").cast("bigint").as("d"))
-        val dC = deg.join(nat, col("sk") === col("s_suppkey"))
-          .groupBy("s_nationkey").agg(sum("d").cast("bigint").as("d_c"))
-        val eC = edges
-          .join(nat.toDF("ska", "na"), col("sa") === col("ska"))
-          .join(nat.toDF("skb", "nb"), col("sb") === col("skb"))
-          .where(col("na") === col("nb"))
-          .groupBy(col("na").as("s_nationkey"))
-          .agg(sum("w").cast("bigint").as("e_c"))
-        dC.join(eC, Seq("s_nationkey"), "left")
-          .na.fill(0L, Seq("e_c"))
-          .crossJoin(broadcast(m))
+        // r11: NO pair materialization. Every modularity term is a
+        // per-order census sum — with b = |suppliers of order o| and
+        // b_n = |suppliers of nation n in order o|:
+        //   m   = Σ_o C(b,2)          (every co-occurrence pair, with
+        //                              multiplicity w, = Σ_c d_c / 2)
+        //   d_c = Σ_{(o,n=c)} b_n·(b−1)   (deg(sk) = Σ_{o∋sk} (b−1))
+        //   e_c = Σ_{(o,n=c)} C(b_n,2)    (same-nation pair incidences)
+        // so ONE countDistinct aggregate to (ok, nation, b_n), a per-ok
+        // window for b, and a ≤|nation| rollup replace the os self-join
+        // + the (sa,sb) pair shuffle — the quadratic edge build this
+        // query was exempt-adjacent for (6.1 s = 1.94x at sf1). The
+        // b >= 2 filter keeps exactly the nations whose suppliers
+        // co-occur at least once (the old deg-table key set).
+        // (r10's basket-array pair build was a measured negative result
+        // — 2.6 vs 1.8 s sf0.1 — but this form drops the pair DOMAIN,
+        // not just its build.)
+        val perOkNat = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_orderkey").as("ok"), col("s_nationkey"))
+          .agg(countDistinct(col("l_suppkey")).cast("long").as("bn"))
+        val wOk = Window.partitionBy("ok")
+        perOkNat
+          .withColumn("b", sum("bn").over(wOk).cast("long"))
+          .where(col("b") >= 2)
+          .groupBy("s_nationkey")
+          .agg(sum(col("bn") * (col("b") - 1)).cast("bigint").as("d_c"),
+            expr("CAST(sum(bn * (bn - 1) DIV 2) AS BIGINT)").as("e_c"))
+          .withColumn("m",
+            expr("CAST(sum(d_c) OVER () DIV 2 AS BIGINT)"))
           .selectExpr("s_nationkey", "e_c", "d_c",
             """CAST(floor(CAST(4 * m * e_c - d_c * d_c AS DOUBLE)
                / CAST(4 * m * m AS DOUBLE) * 1000000) AS BIGINT)
