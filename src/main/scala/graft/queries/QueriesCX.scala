@@ -79,11 +79,39 @@ object QueriesCX extends QueryPack {
           .join(lines, col("o_orderkey") === col("l_orderkey"))
           .select("o_orderkey", "cents", "y")
           .cache() // read by BOTH the median scan and the sided pass
-        // value at rank ceil(n/2) == percentile_disc(1/2): exact, via
-        // distinct-value cumsum (no single-task window over all orders)
-        val med = graft.operators.ScaleRank.quantileDisc(
+        // value at rank ceil(n/2) == percentile_disc(1/2). Dual-path
+        // (r11): the distinct-cents histogram is far smaller than ord, so
+        // collect it (capped) and read the median off the sorted cumsum
+        // driver-side — the census job also materializes the ord cache,
+        // so the whole query is 2 jobs instead of quantileDisc's
+        // range-sample + running-sum chain built TWICE (med fed two
+        // broadcast crossJoins). Above the cap (or on an empty ord) the
+        // distributed distinct-value cumsum below is the scale path.
+        val CAP = 4000000
+        val byV = ord.groupBy("cents").agg(count(lit(1)).as("cnt"))
+          .limit(CAP + 1).collect()
+        val c0Opt: Option[Long] =
+          if (byV.isEmpty || byV.length > CAP) None
+          else {
+            val sorted = byV.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+            val n = sorted.iterator.map(_._2).sum
+            var cum = 0L
+            var c0 = sorted.last._1
+            val it = sorted.iterator
+            var found = false
+            while (it.hasNext && !found) {
+              val (v, c) = it.next(); cum += c
+              if (2 * cum >= n) { c0 = v; found = true }
+            }
+            Some(c0)
+          }
+        lazy val med = graft.operators.ScaleRank.quantileDisc(
           ord, col("cents"), 1, 2, "c0")
-        val sided = ord.crossJoin(broadcast(med))
+        def attachC0(df: org.apache.spark.sql.DataFrame) = c0Opt match {
+          case Some(v) => df.withColumn("c0", lit(v))
+          case None    => df.crossJoin(broadcast(med))
+        }
+        val sided = attachC0(ord)
           .withColumn("h", expr("c0 DIV 4"))
           .where(col("cents") >= col("c0") - col("h") &&
             col("cents") < col("c0") + col("h"))
@@ -104,7 +132,7 @@ object QueriesCX extends QueryPack {
           max(when(col("side") === "r", col("sy"))).as("rsy"),
           max(when(col("side") === "r", col("sxx"))).as("rsxx"),
           max(when(col("side") === "r", col("sxy"))).as("rsxy"))
-        flat.crossJoin(broadcast(med))
+        attachC0(flat)
           .selectExpr("c0 AS cutoff_cents", "lcnt AS n_left", "rcnt AS n_right",
             s"${b0Micro("l")} AS b0l_micro", s"${b0Micro("r")} AS b0r_micro",
             s"${slopeMicro("l")} AS slope_l_micro",

@@ -183,58 +183,89 @@ object QueriesEK extends QueryPack {
     // --------------------------------------------------------------- q553
     QDef("q553_huber_irls",
       (s, dir) => {
-        val daily = t(s, dir, "orders")
+        // Driver-census IRLS (r11, the q453/q467/q561 recipe): the day
+        // census is calendar-bounded (≤ ~2.5k rows at ANY data scale),
+        // so ONE distributed job aggregates orders to (day, y) and the
+        // whole OLS → scale → two Huber reweight iterations run in Scala
+        // over the collected census — replacing ~7 chained agg/crossJoin
+        // jobs of pure job floor (2.2 s isolated at sf0.1). Arithmetic
+        // mirrors the oracle exactly: exact BigInt weighted sums (the
+        // DECIMAL(38,0)/HUGEINT lane), double math in the same operation
+        // order, floor-quantized output.
+        val sc2 = s
+        import sc2.implicits._
+        val rows = t(s, dir, "orders")
           .where(col("o_totalprice").isNotNull)
           .selectExpr(
             "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
           .groupBy("day").agg(expr("CAST(sum(cents) AS BIGINT) DIV 1000 AS y"))
-        val d0 = daily.agg(min("day").cast("long").as("d0"))
-        val xy = daily.crossJoin(broadcast(d0))
-          .selectExpr("day - d0 AS x", "y")
-        xy.cache(); xy.count()
-        // weighted sums in DECIMAL(38,0), product chains decimal-first:
-        // Σ w·x·y (w ppm × day × deci-revenue) crosses int64 at ~10x
-        // sf0.1 (ProbeScaleAll); oracle mirrors via HUGEINT
-        def ols(df: org.apache.spark.sql.DataFrame, wCol: String) =
-          df.agg(
-            sum(expr(s"$wCol")).cast("long").as("sw"),
-            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x")).as("swx"),
-            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * y")).as("swy"),
-            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x * x")).as("swxx"),
-            sum(expr(s"CAST($wCol AS DECIMAL(38,0)) * x * y")).as("swxy"))
-            .where(expr("sw > 0 AND CAST(sw AS DOUBLE)*swxx > CAST(swx AS DOUBLE)*swx"))
-            .selectExpr(
-              "(CAST(sw AS DOUBLE)*swxy - CAST(swx AS DOUBLE)*swy) / (CAST(sw AS DOUBLE)*swxx - CAST(swx AS DOUBLE)*swx) AS b",
-              """(CAST(swy AS DOUBLE) - (CAST(sw AS DOUBLE)*swxy - CAST(swx AS DOUBLE)*swy)
-                 / (CAST(sw AS DOUBLE)*swxx - CAST(swx AS DOUBLE)*swx) * swx) / sw AS a""")
-        val fit0 = ols(xy.withColumn("w", lit(1L)), "w")
-        // robust scale: sqrt of mean squared residual of the OLS fit,
-        // tuning constant c = 1.345 * scale (classic Huber)
-        val scale = xy.crossJoin(broadcast(fit0))
-          .selectExpr("x", "y", "a", "b", "y - (a + b * x) AS r")
-          .agg(max("a").as("a"), max("b").as("b"),
-            count(lit(1)).as("n"),
-            sum(expr("CAST(floor(r * r) AS DECIMAL(38,0))")).as("srr"))
-          .selectExpr("a", "b",
-            "1.345 * sqrt(CAST(srr AS DOUBLE) / n) AS c")
-        def irls(prev: org.apache.spark.sql.DataFrame) = {
-          val weighted = xy.crossJoin(broadcast(prev))
-            .selectExpr("x", "y",
-              """CAST(CASE WHEN abs(y - (a + b * x)) <= c THEN 1000000
-                   ELSE floor(c / abs(y - (a + b * x)) * 1000000) END
-                 AS BIGINT) AS w""",
-              "c")
-          val f = ols(weighted, "w")
-          f.crossJoin(broadcast(weighted.agg(max("c").as("c"),
-            sum(when(col("w") < 1000000L, 1L).otherwise(0L)).as("ndown"))))
+          .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("y")))
+        def empty = Seq.empty[(Long, Long, Long, Long)]
+          .toDF("a_milli", "b_milli", "c_milli", "n_downweighted")
+        if (rows.isEmpty) empty
+        else {
+          val d0 = rows.iterator.map(_._1).min
+          val xy = rows.map { case (d, y) => (d - d0, y) }
+          def ols(ws: Array[Long]): Option[(Double, Double)] = {
+            var sw = 0L
+            var swx, swy, swxx, swxy = BigInt(0)
+            var i = 0
+            while (i < xy.length) {
+              val (x, y) = xy(i); val w = ws(i)
+              sw += w
+              swx += BigInt(w) * x
+              swy += BigInt(w) * y
+              swxx += BigInt(w) * x * x
+              swxy += BigInt(w) * x * y
+              i += 1
+            }
+            val (swD, swxD, swyD, swxxD, swxyD) = (sw.toDouble,
+              swx.toDouble, swy.toDouble, swxx.toDouble, swxy.toDouble)
+            if (sw > 0 && swD * swxxD > swxD * swxD) {
+              val b = (swD * swxyD - swxD * swyD) / (swD * swxxD - swxD * swxD)
+              val a = (swyD - b * swxD) / swD
+              Some((a, b))
+            } else None
+          }
+          ols(Array.fill(xy.length)(1L)) match {
+            case None => empty
+            case Some((a0, b0)) =>
+              // robust scale: sqrt of mean squared residual of the OLS
+              // fit, tuning constant c = 1.345 * scale (classic Huber);
+              // floor(r²) summed exactly (the DECIMAL(38,0) lane)
+              var srr = BigInt(0)
+              xy.foreach { case (x, y) =>
+                val r = y - (a0 + b0 * x)
+                srr += BigDecimal(math.floor(r * r)).toBigInt
+              }
+              val c = 1.345 * math.sqrt(srr.toDouble / xy.length)
+              def weights(a: Double, b: Double): (Array[Long], Long) = {
+                val ws = new Array[Long](xy.length)
+                var nd = 0L
+                var i = 0
+                while (i < xy.length) {
+                  val (x, y) = xy(i)
+                  val ar = math.abs(y - (a + b * x))
+                  val w = if (ar <= c) 1000000L
+                          else math.floor(c / ar * 1000000).toLong
+                  if (w < 1000000L) nd += 1
+                  ws(i) = w; i += 1
+                }
+                (ws, nd)
+              }
+              val res = for {
+                (a1, b1) <- ols(weights(a0, b0)._1)
+                wn2 = weights(a1, b1)
+                (a2, b2) <- ols(wn2._1)
+              } yield (math.floor(a2 * 1000).toLong,
+                math.floor(b2 * 1000).toLong,
+                math.floor(c * 1000).toLong, wn2._2)
+              res.map(Seq(_).toDF(
+                  "a_milli", "b_milli", "c_milli", "n_downweighted"))
+                .getOrElse(empty)
+          }
         }
-        val fin = irls(irls(scale).selectExpr("a", "b", "c"))
-        fin.selectExpr(
-          "CAST(floor(a * 1000) AS BIGINT) AS a_milli",
-          "CAST(floor(b * 1000) AS BIGINT) AS b_milli",
-          "CAST(floor(c * 1000) AS BIGINT) AS c_milli",
-          "ndown AS n_downweighted")
       },
       Some("""
         WITH daily AS (

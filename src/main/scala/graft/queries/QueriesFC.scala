@@ -220,21 +220,25 @@ object QueriesFC extends QueryPack {
             .selectExpr("c_custkey AS o_custkey", "c_nationkey"), Seq("o_custkey"))
           .groupBy("c_nationkey", "o_custkey", "p_brand")
           .agg(count(lit(1)).as("cnt"))
-        cb.cache(); cb.count() // eager: personal + nation argmax passes
-        val wPers = Window.partitionBy("o_custkey")
-          .orderBy(col("cnt").desc, col("p_brand"))
+        // no cache: both argmax passes consume cb's (nation, cust,
+        // brand) exchange and Catalyst reuses it (ReusedExchange), so
+        // the cache write + eager count job were pure overhead (r11;
+        // the q616-r8 lesson)
+        // argmax (cnt desc, brand asc) as min(struct(-cnt, brand)) — an
+        // aggregate with map-side partials instead of a row_number
+        // window's per-partition sort (r11, the q45/q616 pattern; shaved
+        // the last ~0.5 s that kept this query flirting with the 2 s
+        // floor)
         val personal = cb
-          .withColumn("rn", row_number().over(wPers))
-          .where(col("rn") === 1)
+          .groupBy("c_nationkey", "o_custkey")
+          .agg(min(struct((-col("cnt")).as("nc"), col("p_brand"))).as("m"))
           .select(col("c_nationkey"), col("o_custkey"),
-            col("p_brand").as("my_brand"))
-        val wNat = Window.partitionBy("c_nationkey")
-          .orderBy(col("ncnt").desc, col("p_brand"))
+            col("m.p_brand").as("my_brand"))
         val national = cb.groupBy("c_nationkey", "p_brand")
           .agg(sum("cnt").as("ncnt"))
-          .withColumn("rn", row_number().over(wNat))
-          .where(col("rn") === 1)
-          .select(col("c_nationkey"), col("p_brand").as("top_brand"))
+          .groupBy("c_nationkey")
+          .agg(min(struct((-col("ncnt")).as("nn"), col("p_brand"))).as("m"))
+          .select(col("c_nationkey"), col("m.p_brand").as("top_brand"))
         personal.join(broadcast(national), Seq("c_nationkey"))
           .groupBy("c_nationkey")
           .agg(count(lit(1)).cast("long").as("n_cust"),
