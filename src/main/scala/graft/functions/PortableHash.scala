@@ -54,6 +54,21 @@ object PortableHash {
     conv(substring(md5(in.cast("string")), 1, 15), 16, 10).cast(LongType)
   }
 
+  /** SPARK-side SQL fragment of [[md5Long]] (the registered
+    * `graft_md5long`, or xxhash64 in the fast profile) — for call sites
+    * inside `expr(...)` lambda bodies, where a Column can't reach
+    * (transform/aggregate variables). Profile is baked at plan build,
+    * same as every Column-based call site. */
+  def md5LongSparkSql(e: String, salt: String = ""): String = {
+    val lit = s"'${salt.replace("'", "''")}'"
+    if (profile == "fast") {
+      if (salt.isEmpty) s"xxhash64($e)" else s"xxhash64($lit, $e)"
+    } else {
+      if (salt.isEmpty) s"graft_md5long(CAST($e AS STRING))"
+      else s"graft_md5long(CAST(concat($lit, $e) AS STRING))"
+    }
+  }
+
   /** Matching DuckDB SQL fragment; `expr` must be a SQL string expression.
     * The salt is escaped for a single-quoted SQL literal. */
   def md5LongSql(expr: String, salt: String = ""): String = {

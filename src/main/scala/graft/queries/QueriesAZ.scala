@@ -78,33 +78,39 @@ object QueriesAZ extends QueryPack {
     // --------------------------------------------------------------- q207
     QDef("q207_negative_sampling",
       (s, dir) => {
-        val pos = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        // Basket-array form (r11): ONE customer-keyed collect_set shuffle
+        // builds each basket (dedup happens map-side), and the negative
+        // draws + their collision checks run LOCALLY against the basket
+        // array — no per-negative row explosion and no (c, np) shuffle
+        // join back against pos (the old 3-job form bounced 1.7-2.0 s at
+        // sf0.1, straddling the floor). The part-domain scalar rides in
+        // as a broadcast crossJoin column. The hash is the same salted
+        // portable md5 via its in-lambda SQL fragment.
+        val baskets = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
             col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct().cache()
-        pos.count()
+          .groupBy(col("o_custkey").as("c"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         // empty-input safe: max() over zero rows is NULL → default domain 1
-        val nPartsRow = t(s, dir, "part").agg(max("p_partkey")).head()
-        val nParts = if (nPartsRow.isNullAt(0)) 1L else nPartsRow.getLong(0)
+        val npDf = broadcast(t(s, dir, "part")
+          .agg(coalesce(max("p_partkey"), lit(1L)).as("npmax")))
         val seg = t(s, dir, "customer")
           .select(col("c_custkey").as("c"), col("c_mktsegment").as("seg"))
-        val negs = pos
-          .select(col("c"), col("p"), explode(expr("sequence(0, 1)")).as("i"))
-          .withColumn("np",
-            PortableHash.md5Long(expr("concat(c, '_', p, '_', i)"), salt = "neg~")
-              % nParts + 1)
-        val marked = negs.join(
-            pos.select(col("c"), col("p").as("np")).withColumn("hit", lit(1L)),
-            Seq("c", "np"), "left")
-          .select(col("c"), col("np"), coalesce(col("hit"), lit(0L)).as("coll"))
-        val posCnt = pos.groupBy("c").agg(count(lit(1)).as("n_pos"))
-        marked.groupBy("c")
-          .agg(count(lit(1)).as("n_neg"), sum("coll").cast("bigint").as("n_coll"))
-          .join(posCnt, "c").join(broadcast(seg), "c")
+        val npExpr = PortableHash.md5LongSparkSql(
+          "concat(c, '_', p, '_', i)", salt = "neg~")
+        val perCust = baskets.crossJoin(npDf)
+          .select(col("c"), size(col("ps")).cast("bigint").as("n_pos"),
+            expr(s"""aggregate(
+                 flatten(transform(ps, p -> transform(array(0, 1),
+                   i -> $npExpr % npmax + 1))),
+                 CAST(0 AS BIGINT),
+                 (acc, np) -> acc + CASE WHEN array_contains(ps, np)
+                   THEN 1L ELSE 0L END) AS n_coll"""))
+        perCust.join(broadcast(seg), "c")
           .groupBy("seg")
           .agg(sum("n_pos").cast("bigint").as("n_pos"),
-            sum("n_neg").cast("bigint").as("n_neg"),
+            sum(col("n_pos") * 2).cast("bigint").as("n_neg"),
             sum("n_coll").cast("bigint").as("n_collisions"))
           .withColumn("collision_bp", expr("n_collisions * 10000 DIV n_neg"))
           .orderBy("seg")

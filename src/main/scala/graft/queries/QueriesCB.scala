@@ -198,21 +198,62 @@ object QueriesCB extends QueryPack {
           expr(mortonExpr("ix DIV 100", "iy DIV 100")))
         val pm = pages(withM, Seq("m", "ix", "iy", "event_id"), "morton")
         val pn = pages(pts, Seq("event_id"), "naive")
-        val all = pm.union(pn).cache()
-        all.count() // eager: areas + both self-join sides read this cache
-        val areas = all.groupBy("layout")
-          .agg(count(lit(1)).as("n_pages"),
-            expr("CAST(sum((x1 - x0) * (y1 - y0)) AS BIGINT)").as("sum_area"))
-        val l = all.toDF("pg_a", "ax0", "ax1", "ay0", "ay1", "layout")
-        val r = all.toDF("pg_b", "bx0", "bx1", "by0", "by1", "layout")
-        val overlaps = l.join(r, Seq("layout"))
-          .where(col("pg_a") < col("pg_b") &&
-            col("ax0") <= col("bx1") && col("bx0") <= col("ax1") &&
-            col("ay0") <= col("by1") && col("by0") <= col("ay1"))
-          .groupBy("layout").agg(count(lit(1)).as("n_overlap_pairs"))
-        areas.join(overlaps, Seq("layout"))
-          .select("layout", "n_pages", "sum_area", "n_overlap_pairs")
-          .orderBy("layout")
+        val all = pm.union(pn)
+        // dual-path (r11): the box census is rows/256 — at bench SFs a
+        // few thousand boxes — so areas + the O(p²) overlap count run
+        // driver-side off ONE collect (the rank checkpoints upstream
+        // already pin the heavy work). Above the cap the distributed
+        // box self-join below is the scale path.
+        val CAP = 8000
+        val boxes = all.limit(CAP + 1).collect()
+        if (boxes.length <= CAP) {
+          val sc2 = s
+          import sc2.implicits._
+          val by = boxes.map(r => (r.getAs[String]("layout"),
+              r.getAs[Long]("pg"), r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+              r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+            .groupBy(_._1)
+          by.toSeq.flatMap { case (layout, bs) =>
+            val area = bs.iterator
+              .map(b => (b._4 - b._3) * (b._6 - b._5)).sum
+            // box-intersect is symmetric, so each unordered pair once
+            // (i < j) matches the pg_a < pg_b dedup of the join form
+            var ov = 0L
+            val arr = bs.toArray
+            var i = 0
+            while (i < arr.length) {
+              val a = arr(i)
+              var j = i + 1
+              while (j < arr.length) {
+                val b = arr(j)
+                if (a._3 <= b._4 && b._3 <= a._4 &&
+                  a._5 <= b._6 && b._5 <= a._6) ov += 1
+                j += 1
+              }
+              i += 1
+            }
+            // inner-join semantics: a layout with zero overlapping
+            // pairs has no `overlaps` row and drops from the output
+            if (ov > 0) Some((layout, bs.size.toLong, area, ov)) else None
+          }.sortBy(_._1)
+            .toDF("layout", "n_pages", "sum_area", "n_overlap_pairs")
+        } else {
+          val allC = all.cache()
+          allC.count() // eager: areas + both self-join sides
+          val areas = allC.groupBy("layout")
+            .agg(count(lit(1)).as("n_pages"),
+              expr("CAST(sum((x1 - x0) * (y1 - y0)) AS BIGINT)").as("sum_area"))
+          val l = allC.toDF("pg_a", "ax0", "ax1", "ay0", "ay1", "layout")
+          val r = allC.toDF("pg_b", "bx0", "bx1", "by0", "by1", "layout")
+          val overlaps = l.join(r, Seq("layout"))
+            .where(col("pg_a") < col("pg_b") &&
+              col("ax0") <= col("bx1") && col("bx0") <= col("ax1") &&
+              col("ay0") <= col("by1") && col("by0") <= col("ay1"))
+            .groupBy("layout").agg(count(lit(1)).as("n_overlap_pairs"))
+          areas.join(overlaps, Seq("layout"))
+            .select("layout", "n_pages", "sum_area", "n_overlap_pairs")
+            .orderBy("layout")
+        }
       },
       Some {
         def mortonExpr(gx: String, gy: String): String =

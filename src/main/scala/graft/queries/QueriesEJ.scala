@@ -53,43 +53,48 @@ object QueriesEJ extends QueryPack {
           .selectExpr(
             "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 AS day")
           .groupBy("day").agg(count(lit(1)).as("y"))
-        val wOrd = Window.orderBy("day")
-        val wins = daily
-          .withColumn("rn", row_number().over(wOrd))
-          .withColumn("arr", collect_list("y").over(
-            wOrd.rowsBetween(Window.currentRow, 6)))
-          .where(size(col("arr")) === 7)
-          .select("rn", "arr")
-        wins.cache(); wins.count()
-        // BANDED profile (|i−j| ≤ 365): the day domain grows with
-        // collection time, so the all-pairs form is quadratic in wall-
-        // clock age (r5 verdict). Banding bounds pairs at 365 per window
-        // (linear in the domain) and is an equi-join on year-size band
-        // buckets — each left window probes its own and the next bucket,
-        // never a theta-join — so the shape survives a 10-year domain.
-        val left = wins.selectExpr("rn AS i", "arr AS ai", "rn DIV 365 AS bi")
-          .select(col("i"), col("ai"),
-            explode(expr("array(bi, bi + 1)")).as("jb"))
-        val pairs = left
-          .join(wins.selectExpr("rn AS j", "arr AS aj", "rn DIV 365 AS jb"),
-            Seq("jb"))
-          .where(expr("i + 6 < j AND j - i <= 365"))
-          .selectExpr("i", "j",
-            """aggregate(zip_with(ai, aj, (x, y) -> (x - y) * (x - y)),
-                 CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2""")
-        pairs.cache(); pairs.count()
-        val motif = pairs.agg(min(struct(col("d2"), col("i"), col("j"))).as("m"))
-          .selectExpr("m.d2 AS motif_d2", "CAST(m.i AS BIGINT) AS motif_i",
-            "CAST(m.j AS BIGINT) AS motif_j")
-        val nnd = pairs.selectExpr("i AS w", "d2")
-          .unionAll(pairs.selectExpr("j AS w", "d2"))
-          .groupBy("w").agg(min("d2").cast("long").as("nnd"))
-        val discord = nnd
-          .agg(min(struct(expr("-nnd AS neg"), col("w"))).as("m"))
-          .selectExpr("-m.neg AS discord_nnd", "CAST(m.w AS BIGINT) AS discord_i")
-        val cnt = wins.agg(count(lit(1)).as("n_windows"))
-        cnt.crossJoin(broadcast(motif)).crossJoin(broadcast(discord))
-          .selectExpr("n_windows", "motif_i", "motif_j", "motif_d2",
+        // Driver-census profile (r11, the q553 recipe): the day census is
+        // calendar-bounded (≤ ~2.5k rows at ANY data scale), so ONE
+        // distributed aggregation collects (day, y) and the 7-day
+        // windows, the |i−j| ≤ 365 banded distance profile (~days×365
+        // integer ops), motif and discord all run in Scala — replacing
+        // two cache+count jobs, a global row_number window and the band-
+        // bucket join. The banding survives a 10-year domain the same
+        // way (the loop is linear in days × band width).
+        val sc2 = s
+        import sc2.implicits._
+        val days = daily.collect().map(r => (r.getAs[Long]("day"),
+          r.getAs[Long]("y"))).sortBy(_._1)
+        val ys = days.map(_._2)
+        val nW = math.max(ys.length - 6, 0) // windows with all 7 days
+        var motif: Option[(Long, Long, Long)] = None // (d2, i, j)
+        val nnd = scala.collection.mutable.Map.empty[Long, Long]
+        var i0 = 0
+        while (i0 < nW) {
+          val i = i0 + 1L // 1-based rn
+          var j0 = i0 + 7
+          while (j0 < nW && j0 - i0 <= 365) {
+            val j = j0 + 1L
+            var d2 = 0L
+            var k = 0
+            while (k < 7) {
+              val d = ys(i0 + k) - ys(j0 + k); d2 += d * d; k += 1
+            }
+            val cand = (d2, i, j)
+            if (motif.forall(m => implicitly[Ordering[(Long, Long, Long)]]
+                .lt(cand, m))) motif = Some(cand)
+            if (nnd.getOrElse(i, Long.MaxValue) > d2) nnd(i) = d2
+            if (nnd.getOrElse(j, Long.MaxValue) > d2) nnd(j) = d2
+            j0 += 1
+          }
+          i0 += 1
+        }
+        // discord: max nnd, ties to the smallest window id
+        val discord = nnd.toSeq.map { case (w, d) => (-d, w) }.sorted.headOption
+          .map { case (nd, w) => (-nd, w) }
+        Seq((nW.toLong, motif.map(_._2), motif.map(_._3), motif.map(_._1),
+            discord.map(_._2), discord.map(_._1)))
+          .toDF("n_windows", "motif_i", "motif_j", "motif_d2",
             "discord_i", "discord_nnd")
       },
       Some("""
