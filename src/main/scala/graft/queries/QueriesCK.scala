@@ -140,13 +140,40 @@ object QueriesCK extends QueryPack {
     QDef("q353_dict_encoding",
       (s, dir) => {
         val toks = t(s, dir, "documents")
+          // single-file scan = ONE partition; fan out before tokenize
+          .repartition(col("doc_id"))
           .withColumn("w", TextFunctions.words(col("text")))
           .select(col("source"), explode(col("w")).as("word"))
         val dict = toks.groupBy("word").agg(count(lit(1)).as("f"))
-        val ranked = graft.operators.ScaleRank.withGlobalRowNumber(
-            dict, Seq(col("f").desc, col("word")), "rank")
-          .selectExpr("word", "rank",
-            "CASE WHEN rank <= 128 THEN 1L WHEN rank <= 16384 THEN 2L ELSE 3L END AS varint_bytes")
+        // dual-path rank (r11): the dictionary is vocabulary-bounded, so
+        // collect it (capped), rank driver-side (ties broken in UTF-8
+        // BINARY order — Java String order diverges around surrogates)
+        // and broadcast the word→varint map into a map-side join + one
+        // tiny source rollup. Above the cap the ScaleRank global-rank
+        // machinery below is the web-vocabulary scale path.
+        val CAP = 2000000
+        val dictRows = dict.limit(CAP + 1).collect()
+        val ranked: org.apache.spark.sql.DataFrame =
+          if (dictRows.length <= CAP) {
+            val sc2 = s
+            import sc2.implicits._
+            import org.apache.spark.unsafe.types.UTF8String
+            broadcast(dictRows
+              .map(r => (r.getString(0), r.getLong(1)))
+              .sortWith { case ((wa, fa), (wb, fb)) =>
+                fa > fb || (fa == fb && UTF8String.fromString(wa)
+                  .compareTo(UTF8String.fromString(wb)) < 0)
+              }
+              .zipWithIndex.map { case ((wd, _), idx) =>
+                val rank = idx + 1L
+                (wd, if (rank <= 128) 1L else if (rank <= 16384) 2L else 3L)
+              }.toSeq.toDF("word", "varint_bytes"))
+          } else {
+            graft.operators.ScaleRank.withGlobalRowNumber(
+                dict, Seq(col("f").desc, col("word")), "rank")
+              .selectExpr("word",
+                "CASE WHEN rank <= 128 THEN 1L WHEN rank <= 16384 THEN 2L ELSE 3L END AS varint_bytes")
+          }
         toks.join(ranked, "word")
           .groupBy("source")
           .agg(count(lit(1)).as("n_tokens"),
