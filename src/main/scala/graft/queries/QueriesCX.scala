@@ -90,26 +90,36 @@ object QueriesCX extends QueryPack {
         val CAP = 4000000
         val byV = ord.groupBy("cents").agg(count(lit(1)).as("cnt"))
           .limit(CAP + 1).collect()
-        val c0Opt: Option[Long] =
+        // Inner Option mirrors quantileDisc's null handling exactly: a
+        // null cents group (nulled o_totalprice) sorts FIRST (Spark asc
+        // nulls-first), counts toward n and the cumsum, and can never BE
+        // the median value (min() ignores nulls) — an all-null census
+        // yields a null c0, same as the distributed agg(min) would.
+        val c0Opt: Option[Option[Long]] =
           if (byV.isEmpty || byV.length > CAP) None
           else {
-            val sorted = byV.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+            val sorted = byV.map(r =>
+                (if (r.isNullAt(0)) null
+                 else java.lang.Long.valueOf(r.getLong(0)), r.getLong(1)))
+              .sortBy { case (v, _) =>
+                (v != null, if (v == null) 0L else v.longValue()) }
             val n = sorted.iterator.map(_._2).sum
             var cum = 0L
-            var c0 = sorted.last._1
+            var c0: java.lang.Long = null
             val it = sorted.iterator
-            var found = false
-            while (it.hasNext && !found) {
+            var done = false
+            while (it.hasNext && !done) {
               val (v, c) = it.next(); cum += c
-              if (2 * cum >= n) { c0 = v; found = true }
+              if (2 * cum >= n && v != null) { c0 = v; done = true }
             }
-            Some(c0)
+            Some(Option(c0).map(_.longValue()))
           }
         lazy val med = graft.operators.ScaleRank.quantileDisc(
           ord, col("cents"), 1, 2, "c0")
         def attachC0(df: org.apache.spark.sql.DataFrame) = c0Opt match {
-          case Some(v) => df.withColumn("c0", lit(v))
-          case None    => df.crossJoin(broadcast(med))
+          case Some(Some(v)) => df.withColumn("c0", lit(v))
+          case Some(None)    => df.withColumn("c0", lit(null).cast("bigint"))
+          case None          => df.crossJoin(broadcast(med))
         }
         val sided = attachC0(ord)
           .withColumn("h", expr("c0 DIV 4"))
