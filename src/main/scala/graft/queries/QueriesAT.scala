@@ -153,6 +153,37 @@ object QueriesAT extends QueryPack {
     QDef("q184_assortativity",
       (s, dir) => {
         val e = edges(s, dir)
+        e.cache()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q457/q225 recipe, r11): degrees and the six
+          // sufficient statistics run driver-side over the collected
+          // repeat-pair census — one job instead of deg + 2 joins + agg.
+          // Long arithmetic and double order match the frames below.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val deg = (half.map(_._1) ++ half.map(_._2))
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+          var m = 0L; var sx = 0L; var sxx = 0L; var sxy = 0L
+          half.foreach { case (a, b) =>
+            val (x, y) = (deg(a), deg(b))
+            // sym union: each edge contributes (x,y) and (y,x), so the
+            // x- and y-marginals coincide
+            m += 2; sx += x + y; sxx += x * x + y * y; sxy += 2 * x * y
+          }
+          val sc2 = s
+          import sc2.implicits._
+          if (m == 0) Seq((0L, Option.empty[Long]))
+            .toDF("n_edges", "assort_micro")
+          else {
+            val num = m * sxy - sx * sx
+            val dx = m * sxx - sx * sx
+            val assort =
+              if (dx > 0) Some(math.floor(num.toDouble /
+                math.sqrt(dx.toDouble) / math.sqrt(dx.toDouble) * 1000000).toLong)
+              else None
+            Seq((m / 2, assort)).toDF("n_edges", "assort_micro")
+          }
+        } else {
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val pts = e
@@ -173,6 +204,7 @@ object QueriesAT extends QueryPack {
                  CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE))
                    / sqrt(CAST(dy AS DOUBLE)) * 1000000) AS BIGINT)
                ELSE NULL END AS assort_micro""")
+        }
       },
       Some(s"""
         WITH $edgesSql,
@@ -205,7 +237,30 @@ object QueriesAT extends QueryPack {
     QDef("q185_triangles",
       (s, dir) => {
         val e = edges(s, dir).cache()
-        e.count()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q457/q225 recipe, r11): wedges, the oriented
+          // triangle count and the clustering ratio run driver-side over
+          // the collected repeat-pair census — one job instead of the
+          // e1⋈e2 self-join + semi-join + 3 rollups.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val deg = (half.map(_._1) ++ half.map(_._2))
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+          val wedges = deg.valuesIterator.map(d => d * (d - 1) / 2).sum
+          val eset = half.toSet
+          val byA = half.groupMap(_._1)(_._2)
+          var triangles = 0L
+          for ((a, b) <- half;
+               c <- byA.getOrElse(b, Array.empty[Long]) if eset((a, c)))
+            triangles += 1
+          val clustering =
+            if (wedges > 0) 3L * triangles * 10000L / wedges else 0L
+          val sc2 = s
+          import sc2.implicits._
+          Seq((deg.size.toLong, nEdges, wedges, triangles, clustering))
+            .toDF("n_nodes", "n_edges", "wedges", "triangles",
+              "clustering_bp")
+        } else {
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val degStats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -221,6 +276,7 @@ object QueriesAT extends QueryPack {
             "coalesce(wedges, 0) AS wedges", "triangles",
             """CASE WHEN coalesce(wedges, 0) > 0
                THEN 3 * triangles * 10000 DIV wedges ELSE 0 END AS clustering_bp""")
+        }
       },
       Some(s"""
         WITH $edgesSql,

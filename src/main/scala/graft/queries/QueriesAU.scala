@@ -143,23 +143,34 @@ object QueriesAU extends QueryPack {
 
     QDef("q188_butterflies",
       (s, dir) => {
-        val lp = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct().cache()
-        lp.count()
-        val pairs = lp.select(col("ok"), col("pk").as("p1"))
-          .join(lp.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-          .where(col("p1") < col("p2"))
+        // basket-array form (r11, the q140/q390 pattern): ONE ok-keyed
+        // collect_set shuffle replaces the distinct exchange AND the
+        // ok-keyed self-join — wedge pairs are enumerated MAP-SIDE from
+        // the ≤7-part sorted basket, and the order degree is simply the
+        // basket size (the r10 plan shuffled lp three more times for
+        // pairs/dOrd/counts).
+        val baskets = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .cache()
+        baskets.count()
+        val pairs = baskets
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""))
+            .as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("s"))
         val bf = pairs.agg(
           sum(expr("s * (s - 1) DIV 2")).cast("bigint").as("butterflies"))
-        val dOrd = lp.groupBy("ok").agg(count(lit(1)).as("do"))
+        val lp = baskets.select(col("ok"), size(col("ps")).cast("bigint").as("do"),
+          explode(col("ps")).as("pk"))
         val dPart = lp.groupBy("pk").agg(count(lit(1)).as("dp"))
-        val cat = lp.join(dOrd, "ok").join(dPart, "pk")
+        val cat = lp.join(dPart, "pk")
           .agg(count(lit(1)).as("n_edges"),
             sum(expr("(do - 1) * (dp - 1)")).cast("bigint").as("caterpillars"))
-        val counts = lp.agg(countDistinct("ok").as("n_orders"),
-          countDistinct("pk").as("n_parts"))
+        val counts = baskets.agg(count(lit(1)).as("n_orders"))
+          .crossJoin(dPart.agg(count(lit(1)).as("n_parts")))
         counts.crossJoin(bf).crossJoin(cat)
           .selectExpr("n_orders", "n_parts", "n_edges",
             "coalesce(butterflies, 0) AS butterflies",

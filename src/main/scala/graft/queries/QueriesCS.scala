@@ -40,22 +40,30 @@ object QueriesCS extends QueryPack {
     // --------------------------------------------------------------- q383
     QDef("q383_ams_f2",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val signs = li.select(col("l_partkey"))
+        // census-first (r11): the sketch sign depends only on (j, partkey),
+        // so Σ_rows sgn = Σ_pk cnt(pk)·sgn(j,pk) — hash 16×|parts| census
+        // rows instead of exploding 16×|lineitem| rows through the j
+        // shuffle, and the SAME per-partkey census feeds exact F2 (the r10
+        // plan scanned lineitem twice and md5'd every exploded row).
+        val census = t(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).cast("bigint").as("cnt"))
+          .cache()
+        census.count() // eager: counters + exact both read it
+        val counters = census
           .withColumn("j", explode(sequence(lit(0), lit(15))))
           .withColumn("sgn",
             when(PortableHash.md5Long(
               concat_ws(":", col("j").cast("string"),
                 col("l_partkey").cast("string")), salt = "ams~") % 2 === 0,
               lit(1L)).otherwise(lit(-1L)))
-        val counters = signs.groupBy("j")
-          .agg(sum("sgn").cast("bigint").as("c"))
+          .groupBy("j")
+          .agg(sum(col("sgn") * col("cnt")).cast("bigint").as("c"))
         val estMean = counters
           .agg(expr("CAST(sum(c * c) DIV 16 AS BIGINT)").as("est_mean"))
         val estMed = counters.select((col("c") * col("c")).as("e"))
           .withColumn("rk", row_number().over(Window.orderBy(col("e"))))
           .where(col("rk") === 8).select(col("e").cast("long").as("est_median"))
-        val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val exact = census
           .agg(expr("CAST(sum(cnt * cnt) AS BIGINT)").as("exact_f2"))
         exact.crossJoin(estMean).crossJoin(estMed)
           .selectExpr("exact_f2", "est_mean", "est_median",

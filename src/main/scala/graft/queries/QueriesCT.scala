@@ -177,13 +177,20 @@ object QueriesCT extends QueryPack {
     // --------------------------------------------------------------- q389
     QDef("q389_phonetic_block",
       (s, dir) => {
-        val words = t(s, dir, "documents")
+        // census-first (r11, the q383 recipe): the phonetic key is a pure
+        // function of the word, so the regexp_replace chain runs once per
+        // DISTINCT word (vocab-bounded) instead of once per occurrence,
+        // and countDistinct(word) collapses to a plain count over the
+        // already-unique census rows. Occurrences partially aggregate
+        // map-side before the only wide exchange.
+        val census = t(s, dir, "documents")
           .select(explode(TextFunctions.words(col("text"))).as("word"))
           .where(length(col("word")) >= 2)
-        val keyed = words.selectExpr("word", s"$phoneticSpark AS pkey")
-        keyed.groupBy("pkey")
-          .agg(countDistinct("word").as("n_words"),
-            count(lit(1)).as("n_occ"),
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        census.selectExpr("word", "cnt", s"$phoneticSpark AS pkey")
+          .groupBy("pkey")
+          .agg(count(lit(1)).as("n_words"),
+            sum("cnt").cast("bigint").as("n_occ"),
             min("word").as("first_word"), max("word").as("last_word"))
           .orderBy(col("n_words").desc, col("pkey"))
           .limit(20)
@@ -218,7 +225,34 @@ object QueriesCT extends QueryPack {
           .agg(count(lit(1)).as("c")).where(col("c") >= 2)
           .select("pa", "pb")
           .cache()
-        e.count() // eager: e1/e2/e3 and the support join all read it
+        val nEdges = e.count() // eager: e1/e2/e3 and the support join all read it
+        if (nEdges <= 2000000L) {
+          // dual-path (the q457/q225 recipe, r11): triangle enumeration,
+          // per-edge support, the bucket rollup and the truss summary all
+          // run driver-side over the collected repeat-pair census — one
+          // job instead of the 2 triangle self-joins + support join +
+          // rollup. Edges are oriented pa<pb by the sorted-basket build,
+          // so each triangle a<b<c is found exactly once, as in the
+          // e1⋈e2⋈e3 frames below.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val eset = half.toSet
+          val byA = half.groupMap(_._1)(_._2)
+          val sup = scala.collection.mutable.HashMap
+            .empty[(Long, Long), Long].withDefaultValue(0L)
+          for ((a, b) <- half;
+               c <- byA.getOrElse(b, Array.empty[Long]) if eset((a, c))) {
+            sup((a, b)) += 1; sup((b, c)) += 1; sup((a, c)) += 1
+          }
+          val sups = half.map(p => sup(p))
+          val t3 = sups.count(_ >= 1).toLong
+          val t4 = sups.count(_ >= 2).toLong
+          val sc2 = s
+          import sc2.implicits._
+          sups.groupMapReduce(v => math.min(v, 5L))(_ => 1L)(_ + _)
+            .toSeq.sortBy(_._1)
+            .map { case (bk, n) => (bk, n, t3, t4) }
+            .toDF("support_bucket", "n_edges", "truss3_edges", "truss4_edges")
+        } else {
         val e1 = e.selectExpr("pa AS a", "pb AS b")
         val e2 = e.selectExpr("pa AS b", "pb AS c2")
         val e3 = e.selectExpr("pa AS a", "pb AS c2")
@@ -244,6 +278,7 @@ object QueriesCT extends QueryPack {
           .selectExpr("support_bucket", "n_edges", "truss3_edges",
             "truss4_edges")
           .orderBy("support_bucket")
+        }
       },
       Some("""
         WITH li AS (

@@ -57,6 +57,38 @@ object QueriesCZ extends QueryPack {
           .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
           .where(col("cnt") >= 2)
           .selectExpr("a", "b", "1000 DIV cnt AS w")
+        e.cache()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q457/q225 recipe, r11): the repeat-pair census
+          // is tiny, so the 4 relaxation rounds run driver-side over the
+          // collected weighted edge list — one job instead of 4 ×
+          // (join + union + agg + checkpoint) rounds of pure job floor.
+          // Integer math identical to the frames below.
+          val half = e.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val adjM = (half.map { case (a, b, w) => (a, (b, w)) } ++
+            half.map { case (a, b, w) => (b, (a, w)) }).groupMap(_._1)(_._2)
+          val sc2 = s
+          import sc2.implicits._
+          if (adjM.isEmpty) Seq.empty[(Long, Long)].toDF("node", "dist")
+          else {
+            val src = adjM.toSeq.map { case (u, vs) => (u, vs.size) }
+              .minBy { case (u, d) => (-d, u) }._1
+            var dist = Map(src -> 0L)
+            for (_ <- 1 to 4) {
+              val relax = dist.toSeq.flatMap { case (n, d) =>
+                adjM.getOrElse(n, Array.empty[(Long, Long)])
+                  .map { case (v, w) => (v, d + w) }
+              }
+              dist = (dist.toSeq ++ relax)
+                .groupMapReduce(_._1)(_._2)(math.min)
+            }
+            dist.toSeq.map { case (n, d) => (n, d) }
+              .sortBy { case (n, d) => (d, n) }.take(25)
+              .toDF("node", "dist")
+          }
+        } else {
         val adj = e.select(col("a").as("u"), col("b").as("v"), col("w"))
           .union(e.select(col("b").as("u"), col("a").as("v"), col("w")))
         // cache: every relaxation round scans the adjacency; without it
@@ -78,6 +110,7 @@ object QueriesCZ extends QueryPack {
             .localCheckpoint()
         }
         dist.orderBy(col("dist"), col("node")).limit(25)
+        }
       },
       Some("""
         WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),

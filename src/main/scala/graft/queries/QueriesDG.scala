@@ -262,7 +262,11 @@ object QueriesDG extends QueryPack {
         val c1 = e.orderBy("vec_id").limit(1)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm"))
-        val d1all = distTo(c1)
+        // localCheckpoint the reused frames (r11): DataFrame subtrees are
+        // NOT deduplicated inside one job, so d1all/mins2 (each read by
+        // the next pick AND the next min-union) and the 1-row c2/c3
+        // center frames re-ran their embedding crossJoins up to 5x.
+        val d1all = distTo(c1).localCheckpoint()
         val pick2 = d1all.join(c1.select(col("c_id")),
             col("vec_id") === col("c_id"), "left_anti")
           .orderBy(col("dist").desc, col("vec_id")).limit(1)
@@ -270,10 +274,12 @@ object QueriesDG extends QueryPack {
             col("vec_id") === col("p2"))
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm"), col("dist").as("sel_dist"))
+          .localCheckpoint()
         val mins2 = d1all.select(col("vec_id"), col("dist"))
           .union(distTo(c2.select(col("c_id"), col("c_vec"), col("c_nrm")))
             .select(col("vec_id"), col("dist")))
           .groupBy("vec_id").agg(min("dist").cast("long").as("mind"))
+          .localCheckpoint()
         val pick3 = mins2
           .join(c1.select(col("c_id")).union(c2.select(col("c_id")))
             .withColumnRenamed("c_id", "x"),
@@ -283,6 +289,7 @@ object QueriesDG extends QueryPack {
             col("mind").as("sel_dist")), col("vec_id") === col("p3"))
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
             col("nrm").as("c_nrm"), col("sel_dist"))
+          .localCheckpoint()
         val mins3 = mins2.select(col("vec_id"), col("mind").as("dist"))
           .union(distTo(c3.select(col("c_id"), col("c_vec"), col("c_nrm")))
             .select(col("vec_id"), col("dist")))

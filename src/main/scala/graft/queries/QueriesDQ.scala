@@ -142,14 +142,40 @@ object QueriesDQ extends QueryPack {
     // --------------------------------------------------------------- q476
     QDef("q476_label_noise",
       (s, dir) => {
+        // marker census instead of 10 array-filter passes (r11): the
+        // prediction depends only on the per-doc counts of 10 fixed
+        // stopwords, so explode+isin keeps one codegen'd comparison chain
+        // per token where size(filter(...)) ran 10 interpreted
+        // higher-order traversals of the word array per doc. Docs with no
+        // marker hit rejoin with zero counts; NULL text keeps the
+        // original NULL-count semantics (every >= is NULL → ELSE 'it').
+        val marks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("x"))
+          .where(col("x").isin("the", "and", "der", "und", "le", "et",
+            "el", "y", "il", "di"))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("x") === "the" || col("x") === "and", 1L)
+              .otherwise(0L)).as("m_en"),
+            sum(when(col("x") === "der" || col("x") === "und", 1L)
+              .otherwise(0L)).as("m_de"),
+            sum(when(col("x") === "le" || col("x") === "et", 1L)
+              .otherwise(0L)).as("m_fr"),
+            sum(when(col("x") === "el" || col("x") === "y", 1L)
+              .otherwise(0L)).as("m_es"),
+            sum(when(col("x") === "il" || col("x") === "di", 1L)
+              .otherwise(0L)).as("m_it"))
         val docs = t(s, dir, "documents")
-          .withColumn("w", TextFunctions.words(col("text")))
+          .select(col("doc_id"), col("lang"),
+            col("text").isNull.as("null_text"))
+          .join(marks, Seq("doc_id"), "left")
           .selectExpr("doc_id", "lang",
-            "size(filter(w, x -> x = 'the')) + size(filter(w, x -> x = 'and')) AS m_en",
-            "size(filter(w, x -> x = 'der')) + size(filter(w, x -> x = 'und')) AS m_de",
-            "size(filter(w, x -> x = 'le')) + size(filter(w, x -> x = 'et')) AS m_fr",
-            "size(filter(w, x -> x = 'el')) + size(filter(w, x -> x = 'y')) AS m_es",
-            "size(filter(w, x -> x = 'il')) + size(filter(w, x -> x = 'di')) AS m_it")
+            "CASE WHEN null_text THEN CAST(NULL AS BIGINT) ELSE coalesce(m_en, CAST(0 AS BIGINT)) END AS m_en",
+            "CASE WHEN null_text THEN CAST(NULL AS BIGINT) ELSE coalesce(m_de, CAST(0 AS BIGINT)) END AS m_de",
+            "CASE WHEN null_text THEN CAST(NULL AS BIGINT) ELSE coalesce(m_fr, CAST(0 AS BIGINT)) END AS m_fr",
+            "CASE WHEN null_text THEN CAST(NULL AS BIGINT) ELSE coalesce(m_es, CAST(0 AS BIGINT)) END AS m_es",
+            "CASE WHEN null_text THEN CAST(NULL AS BIGINT) ELSE coalesce(m_it, CAST(0 AS BIGINT)) END AS m_it")
           .selectExpr("doc_id", "lang",
             """CASE WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es
                      AND m_en >= m_it THEN 'en'

@@ -181,11 +181,19 @@ object QueriesDZ extends QueryPack {
     // --------------------------------------------------------------- q507
     QDef("q507_dsir_weights",
       (s, dir) => {
+        // narrow cache (r11, guide §2.3 "project before the exchange"):
+        // only the 64-value bucket id survives past the map side — the
+        // r10 plan cached the bigram STRING with every exploded row and
+        // scanned that much wider frame three times. (A per-(doc,bucket)
+        // pre-aggregated census was also benched: its extra exchange cost
+        // more than the cache bytes it saved at sf0.1 — 2.2 s vs 1.0 s —
+        // and was reverted; the narrow projection keeps the job shape.)
         val bg = t(s, dir, "documents")
           .withColumn("w", words(col("text")))
           .select(col("doc_id"), col("source"), col("lang"),
             explode(wordNgrams("w", 2)).as("bigram"))
-          .withColumn("bucket", PortableHash.md5Long(col("bigram")) % 64)
+          .select(col("doc_id"), col("source"), col("lang"),
+            (PortableHash.md5Long(col("bigram")) % 64).as("bucket"))
           .cache()
         bg.count() // eager: raw/target/per-doc subtrees share one scan
         val raw = bg.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))

@@ -290,7 +290,30 @@ object QueriesEI extends QueryPack {
           .groupBy("a", "b").agg(count(lit(1)).as("w"))
           .where(col("w") >= 2)
           .select("a", "b")
-        e.cache(); e.count()
+        e.cache()
+        val nEdges = e.count()
+        if (nEdges <= 2000000L) {
+          // dual-path (the q457/q225 recipe, r11): degrees, the 4 k-tiers
+          // and the rich-club ratio all run driver-side over the collected
+          // repeat-pair census — one job instead of deg + 2 census joins +
+          // rollup. Integer math identical to the frames below.
+          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val deg = (half.map(_._1) ++ half.map(_._2))
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+          val sc2 = s
+          import sc2.implicits._
+          (1 to 4).map(i => 1L << i).flatMap { k =>
+            val nNodes = deg.valuesIterator.count(_ > k).toLong
+            if (nNodes <= 1) None
+            else {
+              val nE = half.count { case (a, b) =>
+                deg(a) > k && deg(b) > k
+              }.toLong
+              Some((k, nNodes, nE,
+                2L * nE * 10000L / (nNodes * (nNodes - 1))))
+            }
+          }.toDF("k", "n_nodes", "n_edges", "phi_bp")
+        } else {
         val deg = e.select(col("a").as("v"))
           .unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -310,6 +333,7 @@ object QueriesEI extends QueryPack {
           .selectExpr("k", "n_nodes", "n_edges",
             "2 * n_edges * 10000 DIV (n_nodes * (n_nodes - 1)) AS phi_bp")
           .orderBy("k")
+        }
       },
       Some("""
         WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey

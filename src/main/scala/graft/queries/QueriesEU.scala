@@ -104,7 +104,7 @@ object QueriesEU extends QueryPack {
         // CTE chain (the DuckDB side keeps the generated text verbatim;
         // QueriesEUSpec pins equality with a procedural BPE).
         t(s, dir, "documents").createOrReplaceTempView("docs_q594")
-        var syms = s.sql("""
+        val censusSql = """
           WITH census AS (
             SELECT w AS word, CAST(count(*) AS BIGINT) AS wcnt
             FROM (
@@ -113,7 +113,69 @@ object QueriesEU extends QueryPack {
                        ELSE split(trim(text), '\\s+') END) AS w
               FROM docs_q594 WHERE text IS NOT NULL)
             WHERE length(w) BETWEEN 1 AND 20
-            GROUP BY w)
+            GROUP BY w)"""
+        // DUAL PATH (r11, the q457/q225 recipe): BPE training state IS the
+        // word census (vocab-bounded, grows sublinearly with the corpus) —
+        // when it fits a driver gate, the 4 merge rounds run procedurally
+        // in Scala (the exact algorithm QueriesEUSpec's bpeReplay pins the
+        // relational form to: overlapping pair counts, c-desc/(x,y)-asc
+        // ties in UTF8-binary order, greedy left-to-right application).
+        // One Spark job builds the census; the old per-round SQL loop
+        // (≈13 jobs + 2 checkpoint pins per round) stays as the scale
+        // fallback above the gate.
+        val censusRows = s.sql(censusSql + " SELECT word, wcnt FROM census")
+          .collect()
+        if (censusRows.length <= 2000000) {
+          import org.apache.spark.unsafe.types.UTF8String
+          val u8: Ordering[String] = (a, b) =>
+            UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+          val tupleOrd =
+            Ordering.Tuple3(implicitly[Ordering[Long]], u8, u8)
+          var words: Array[(Array[String], Long)] = censusRows.map { r =>
+            val w = r.getString(0)
+            (w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))), r.getLong(1))
+          }
+          val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+          var done = false
+          for (k <- 1 to rounds if !done) {
+            val counts =
+              scala.collection.mutable.Map.empty[(String, String), Long]
+            words.foreach { case (syms, c) =>
+              var i = 0
+              while (i < syms.length - 1) {
+                val p = (syms(i), syms(i + 1))
+                counts(p) = counts.getOrElse(p, 0L) + c
+                i += 1
+              }
+            }
+            if (counts.isEmpty) done = true
+            else {
+              val ((x, y), c) = counts.toSeq
+                .minBy { case ((a, b), n) => (-n, a, b) }(tupleOrd)
+              words = words.map { case (syms, wc) =>
+                val b = Array.newBuilder[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == x &&
+                      syms(i + 1) == y) {
+                    b += (x + y); i += 2
+                  } else { b += syms(i); i += 1 }
+                }
+                (b.result(), wc)
+              }
+              val tokens =
+                words.map { case (sy, wc) => sy.length * wc }.sum
+              out += ((k.toLong, x, y, c, tokens))
+            }
+          }
+          val s3 = s
+          import s3.implicits._
+          out.result()
+            .toDF("round", "x", "y", "pair_count", "tokens_after")
+            .orderBy("round")
+        } else {
+        var syms = s.sql(censusSql + """
           SELECT word, wcnt, CAST(pos + 1 AS BIGINT) AS pos, sym
           FROM census
           LATERAL VIEW posexplode(split(word, '')) pe AS pos, sym""")
@@ -154,6 +216,7 @@ object QueriesEU extends QueryPack {
         merges.result()
           .toDF("round", "x", "y", "pair_count", "tokens_after")
           .orderBy("round")
+        }
       },
       Some(s"""
         WITH census AS (

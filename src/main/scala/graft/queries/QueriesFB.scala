@@ -43,6 +43,45 @@ object QueriesFB extends QueryPack {
         val vals = t(s, dir, "lineitem")
           .selectExpr(
             "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v")
+        // DUAL PATH (r11, the q457/q225 recipe): every output — equi-depth
+        // boundaries, the 5 range predicates, estimator AND the actual
+        // row counts — is derivable from the distinct-value census (the
+        // r10 plan cached ALL lineitem rows and crossJoined them against
+        // the 5 predicates for `act`). When the census fits the driver
+        // gate, one aggregation job replaces the cache + 4 downstream
+        // jobs; the frames below stay as the scale fallback.
+        val censusRows = vals.groupBy("v")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        if (censusRows.length <= 2000000) {
+          val sc2 = s
+          import sc2.implicits._
+          if (censusRows.isEmpty)
+            Seq.empty[(Long, Long, Long, Long)]
+              .toDF("pid", "est_rows", "act_rows", "err_bp")
+          else {
+            val n = censusRows.map(_._2).sum
+            val lo = censusRows.head._1
+            val hi = censusRows.last._1
+            // b_k = min v with cum ≥ ceil(k·n/10), k = 1..9
+            val cums = censusRows.scanLeft(0L)(_ + _._2).tail
+            val bounds = (1L to 9L).flatMap { k =>
+              val i = cums.indexWhere(cum => cum * 10 >= k * n)
+              if (i < 0) None else Some(censusRows(i)._1)
+            }
+            (0L until 5L).map { pid =>
+              val plo = lo + (hi - lo) * pid / 8
+              val phi = lo + (hi - lo) * (pid + 2) / 8
+              val nb = bounds.count(b => b >= plo && b < phi).toLong
+              val est = n * nb / 10
+              val act = censusRows.iterator
+                .filter { case (v, _) => v >= plo && v < phi }
+                .map(_._2).sum
+              val err = if (act > 0) (est - act).abs * 10000 / act else -1L
+              (pid, est, act, err)
+            }.toDF("pid", "est_rows", "act_rows", "err_bp")
+          }
+        } else {
         vals.cache(); vals.count() // eager: histogram + 5 predicate probes
         val census = vals.groupBy("v").agg(count(lit(1)).as("c"))
         val w = Window.orderBy("v")
@@ -85,6 +124,7 @@ object QueriesFB extends QueryPack {
                THEN abs(est_rows - act_rows) * 10000 DIV act_rows
                ELSE -1 END AS err_bp""")
           .orderBy("pid")
+        }
       },
       Some("""
         WITH vals AS (
