@@ -177,16 +177,33 @@ object QueriesCW extends QueryPack {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         def nk(x: String) = (x != null, if (x == null) "" else x)
         val f1 = freq1.keys.toSeq.sortBy(nk) // null brand sorts first
-        val fb = baskets
-          .select(col("ok"), array_intersect(col("bs"),
+        // distinct-basket weighting (r11), SCALE-ADAPTIVE: the brand
+        // domain is 25 values, so only ~2^|freq1| DISTINCT filtered
+        // baskets exist regardless of order count — above a measured
+        // order-count threshold, dedupe baskets BEFORE enumerating
+        // pairs/triples and weight each enumeration by multiplicity.
+        // support(t) = Σ_orders [t ⊆ basket] = Σ_distinct wt·[t ⊆ basket],
+        // exactly. Measured: sf1 12.3→4.3 s (the triple fan-out drops
+        // from 6M orders to ~10k distinct baskets); at sf0.1 the same
+        // dedup was 1.2 s SLOWER (its two extra exchanges exceed the
+        // small enumeration saved), so below the threshold each order
+        // basket carries wt=1 with no dedup exchange — identical math.
+        val dedup = nOrders >= 1000000L
+        val fbw = {
+          val base = baskets.select(array_intersect(col("bs"),
             typedLit(f1)).as("fb")) // bs sorted ⇒ intersect stays sorted
+          if (dedup)
+            base.groupBy("fb").agg(count(lit(1)).cast("bigint").as("wt"))
+              .cache()
+          else base.withColumn("wt", lit(1L))
+        }
         val pairCols = expr(
           """flatten(transform(fb, (x, i) ->
              transform(slice(fb, i + 2, size(fb)), y -> struct(x AS ba, y AS bb))))""")
-        val freq2 = fb.select(pairCols.as("ps"))
-          .select(explode(col("ps")).as("pr"))
+        val freq2 = fbw.select(col("wt"), pairCols.as("ps"))
+          .select(col("wt"), explode(col("ps")).as("pr"))
           .groupBy(col("pr.ba").as("ba"), col("pr.bb").as("bb"))
-          .agg(count(lit(1)).as("s2"))
+          .agg(sum("wt").cast("bigint").as("s2"))
           .where(col("s2") >= minsup2)
           .select("ba", "bb")
           .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -208,18 +225,21 @@ object QueriesCW extends QueryPack {
         // post-aggregate cand filter below stays as the exact gate.
         val candItems = cand.toSeq.flatMap { case (a, b, c) => Seq(a, b, c) }
           .distinct.sortBy(nk)
-        val fb3 = fb.select(array_intersect(col("fb"),
-          typedLit(candItems)).as("fb")) // fb sorted ⇒ stays sorted
+        val fb3i = fbw.select(array_intersect(col("fb"),
+          typedLit(candItems)).as("fb"), col("wt")) // fb sorted ⇒ stays sorted
+        val fb3 =
+          if (dedup) fb3i.groupBy("fb").agg(sum("wt").cast("bigint").as("wt"))
+          else fb3i
         val tripleCols = expr(
           """flatten(transform(fb, (x, i) ->
              flatten(transform(slice(fb, i + 2, size(fb)), (y, j) ->
                transform(slice(fb, i + j + 3, size(fb)),
                  z -> struct(x AS ta, y AS tb, z AS tc))))))""")
-        val sup3 = fb3.select(tripleCols.as("ts"))
-          .select(explode(col("ts")).as("tr"))
+        val sup3 = fb3.select(col("wt"), tripleCols.as("ts"))
+          .select(col("wt"), explode(col("ts")).as("tr"))
           .groupBy(col("tr.ta").as("ta"), col("tr.tb").as("tb"),
             col("tr.tc").as("tc"))
-          .agg(count(lit(1)).as("support"))
+          .agg(sum("wt").cast("bigint").as("support"))
           .collect()
           .filter(r => cand((r.getString(0), r.getString(1), r.getString(2))))
         sup3.toSeq.map { r =>
