@@ -22,6 +22,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing floor (default 1m) decides parallelism by BYTES
+      // only, so a CPU-dense stage over a small shuffle (basket/census
+      // enumeration, per-group array lambdas, decimal aggregation) gets
+      // squeezed onto 2-5 cores while the other 27+ idle — measured r12
+      // on q400/q463: 2.4 CPU-seconds packed into 2 tasks = 1.6 s of
+      // wall. 64k keeps such stages wide; it is scale-NEUTRAL because it
+      // only changes stages whose post-shuffle bytes are already tiny
+      // (large stages still coalesce toward the advisory size), and it
+      // stays env-overridable for deployments that prefer the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -39,6 +39,49 @@ object QueriesAO extends QueryPack {
             sum("vc").cast("bigint").as("monetary"))
           .crossJoin(broadcast(mx))
           .withColumn("recency", col("mxd") - col("last_day"))
+        // r12 DUAL PATH: the per-user RFM table is |users|-bounded, so
+        // under the driver gate the three exact global ranks, the
+        // quintile labels and the ≤125-segment rollup all run driver-side
+        // over ONE collected census — 1 job (+ the mx broadcast build)
+        // instead of three chained two-phase ScaleRank passes (~9 jobs).
+        // limit(gate+1) bounds driver memory WITHOUT a separate count
+        // job: past the gate we fall back before holding the rows
+        // (r11-advice shape — never collect-then-check).
+        val gate = 2000000
+        val rows = base.selectExpr("user_id", "recency", "freq", "monetary")
+          .limit(gate + 1).collect()
+        if (rows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          val n = rows.length
+          val uid = Array.tabulate(n)(i => rows(i).getLong(0))
+          val rec = Array.tabulate(n)(i => rows(i).getLong(1))
+          val fr = Array.tabulate(n)(i => rows(i).getLong(2))
+          val mo = Array.tabulate(n)(i => rows(i).getLong(3))
+          // (rn - 1) * 5 DIV n + 1, rn the 1-based rank under each order
+          def quint(rank0: Int): Long = rank0.toLong * 5 / n + 1
+          def ranksOf(key: Int => (Long, Long)): Array[Long] = {
+            val q = new Array[Long](n)
+            val idx = (0 until n).sortBy(key)
+            var k = 0
+            while (k < n) { q(idx(k)) = quint(k); k += 1 }
+            q
+          }
+          val rQ = ranksOf(i => (-rec(i), uid(i))) // recency DESC, uid ASC
+          val fQ = ranksOf(i => (fr(i), uid(i)))
+          val mQ = ranksOf(i => (mo(i), uid(i)))
+          val segs = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          var i = 0
+          while (i < n) {
+            val seg = rQ(i) * 100 + fQ(i) * 10 + mQ(i)
+            val (c, sm) = segs.getOrElse(seg, (0L, 0L))
+            segs(seg) = (c + 1, sm + mo(i))
+            i += 1
+          }
+          segs.toSeq.map { case (seg, (c, sm)) => (seg, c, sm) }
+            .sortBy(_._1)
+            .toDF("segment", "n_users", "sum_monetary")
+        } else {
         // three exact global ranks via two-phase ScaleRank (chained
         // checkpoints) instead of three single-task windows over all users
         val SR = graft.operators.ScaleRank
@@ -57,6 +100,7 @@ object QueriesAO extends QueryPack {
           .agg(count(lit(1)).as("n_users"),
             sum("monetary").cast("bigint").as("sum_monetary"))
           .orderBy("segment")
+        }
       },
       Some("""
         WITH mx AS (SELECT max(epoch_ms(ts) // 86400000) AS mxd FROM events),

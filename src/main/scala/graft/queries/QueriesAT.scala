@@ -238,15 +238,29 @@ object QueriesAT extends QueryPack {
       (s, dir) => {
         val e = edges(s, dir).cache()
         val nEdges = e.count()
-        if (nEdges <= 2000000L) {
+        // r11-advice gate: the driver loop enumerates oriented a→b→c
+        // paths, so its work is wedge-bounded, not edge-bounded — a
+        // near-complete graph under the 2M-edge gate would still stall
+        // the driver for minutes. Compute wedges from the collected
+        // degree map FIRST and only then enter the loop; a dense census
+        // falls back to the distributed self-join below.
+        val driverHalf = if (nEdges <= 2000000L)
+          Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+        else None
+        val driverDeg = driverHalf.map { half =>
+          (half.map(_._1) ++ half.map(_._2))
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+        }
+        val driverWedges = driverDeg.map(
+          _.valuesIterator.map(d => d * (d - 1) / 2).sum)
+        if (driverWedges.exists(_ <= 100000000L)) {
           // dual-path (the q457/q225 recipe, r11): wedges, the oriented
           // triangle count and the clustering ratio run driver-side over
           // the collected repeat-pair census — one job instead of the
           // e1⋈e2 self-join + semi-join + 3 rollups.
-          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val deg = (half.map(_._1) ++ half.map(_._2))
-            .groupMapReduce(identity)(_ => 1L)(_ + _)
-          val wedges = deg.valuesIterator.map(d => d * (d - 1) / 2).sum
+          val half = driverHalf.get
+          val deg = driverDeg.get
+          val wedges = driverWedges.get
           val eset = half.toSet
           val byA = half.groupMap(_._1)(_._2)
           var triangles = 0L

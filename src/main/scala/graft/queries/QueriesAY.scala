@@ -46,8 +46,29 @@ object QueriesAY extends QueryPack {
         // rank only the DISTINCT-value domain: per-value counts + two-
         // phase cumsum; a value's first global rank is cum - cnt + 1, and
         // min(raw_bin) over a tie group is the bin of that first rank
-        val SR = graft.operators.ScaleRank
         val byV = vals.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        // r12 DUAL PATH: the whole bin table derives from the distinct-
+        // value census — under the gate, ONE census job + driver cumsum
+        // replaces the two-phase running sum + totals + rollup (~5 jobs).
+        // limit(gate+1) bounds driver memory without a count job.
+        val gate = 2000000
+        val rows = byV.limit(gate + 1).collect()
+        if (rows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          val vc = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val n = vc.iterator.map(_._2).sum
+          var cum = 0L
+          val binned = vc.map { case (v, c) =>
+            val bin = cum * 10 / n; cum += c; (bin, v, c)
+          }
+          binned.groupBy(_._1).toSeq.map { case (bin, g) =>
+            (bin, g.iterator.map(_._2).min, g.iterator.map(_._2).max,
+              g.iterator.map(_._3).sum, g.length.toLong)
+          }.sortBy(_._1)
+            .toDF("bin", "lo_cents", "hi_cents", "n_rows", "n_distinct")
+        } else {
+        val SR = graft.operators.ScaleRank
         val valBin = SR.withTotals(
             SR.withGlobalRunningSum(byV, Seq(col("cents")), col("cnt"), "cum"),
             Seq(sum("cnt").cast("bigint").as("n")))
@@ -57,6 +78,7 @@ object QueriesAY extends QueryPack {
             sum("cnt").cast("bigint").as("n_rows"),
             count(lit(1)).as("n_distinct"))
           .orderBy("bin")
+        }
       },
       Some("""
         WITH vals AS (

@@ -68,17 +68,56 @@ object QueriesBJ extends QueryPack {
     QDef("q247_decile_migration",
       (s, dir) => {
         val midMs = millisOf("1998-01-01 00:00:00")
-        def deciles(post: Boolean) = {
+        def revHalf(post: Boolean) = {
           val f = if (post) s"ord_ms >= ${midMs}L" else s"ord_ms < ${midMs}L"
-          graft.operators.ScaleRank.withGlobalNtile(
-            t(s, dir, "orders")
-              .selectExpr("o_custkey",
-                "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms",
-                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
-              .where(expr(f))
-              .groupBy("o_custkey").agg(sum("cents").cast("bigint").as("rev")),
-            Seq(col("rev").desc, col("o_custkey")), 10, "decile")
+          t(s, dir, "orders")
+            .selectExpr("o_custkey",
+              "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ord_ms",
+              "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+            .where(expr(f))
+            .groupBy("o_custkey").agg(sum("cents").cast("bigint").as("rev"))
         }
+        // r12 DUAL PATH: both decile maps and the ≤11×11 migration grid
+        // derive from the per-(cust, half) revenue census, |custs|-bounded
+        // — one census job instead of two two-phase ScaleRank ntile
+        // passes + a full join (~8 jobs). limit(gate+1) bounds driver
+        // memory without a count job; past the gate, frames fallback.
+        val gate = 2000000
+        val rows = t(s, dir, "orders")
+          .selectExpr("o_custkey",
+            s"CASE WHEN unix_millis(CAST(o_orderdate AS TIMESTAMP)) < ${midMs}L THEN 0 ELSE 1 END AS half",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+          .groupBy("o_custkey", "half")
+          .agg(sum("cents").cast("bigint").as("rev"))
+          .limit(gate + 1).collect()
+        if (rows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          // exact SQL ntile(10): first n % 10 buckets get one extra row
+          def decileMap(half: Int): Map[Long, Long] = {
+            val xs = rows.iterator.filter(_.getInt(1) == half)
+              .map(r => (r.getLong(0), r.getLong(2))).toArray
+            val sorted = xs.sortBy { case (cust, rev) => (-rev, cust) }
+            val n = sorted.length.toLong
+            val size = n / 10; val rem = n % 10; val cut = rem * (size + 1)
+            sorted.iterator.zipWithIndex.map { case ((cust, _), k) =>
+              val rn = k + 1L
+              val tile = if (rn <= cut) (rn - 1) / (size + 1) + 1
+                         else rem + (rn - cut - 1) / size + 1
+              cust -> tile
+            }.toMap
+          }
+          val pre = decileMap(0); val post = decileMap(1)
+          (pre.keySet ++ post.keySet).iterator
+            .map(c => (pre.getOrElse(c, 0L), post.getOrElse(c, 0L)))
+            .toSeq.groupMapReduce(identity)(_ => 1L)(_ + _)
+            .toSeq.map { case ((p, q), c) => (p, q, c) }
+            .sortBy { case (p, q, _) => (p, q) }
+            .toDF("pre_decile", "post_decile", "n_customers")
+        } else {
+        def deciles(post: Boolean) =
+          graft.operators.ScaleRank.withGlobalNtile(revHalf(post),
+            Seq(col("rev").desc, col("o_custkey")), 10, "decile")
         val pre = deciles(post = false)
           .select(col("o_custkey"), col("decile").as("pre_decile"))
         val post = deciles(post = true)
@@ -90,6 +129,7 @@ object QueriesBJ extends QueryPack {
           .groupBy("pre_decile", "post_decile")
           .agg(count(lit(1)).as("n_customers"))
           .orderBy("pre_decile", "post_decile")
+        }
       },
       Some("""
         WITH rev AS (

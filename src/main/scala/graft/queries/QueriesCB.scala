@@ -196,23 +196,56 @@ object QueriesCB extends QueryPack {
         }
         val withM = pts.withColumn("m",
           expr(mortonExpr("ix DIV 100", "iy DIV 100")))
-        val pm = pages(withM, Seq("m", "ix", "iy", "event_id"), "morton")
-        val pn = pages(pts, Seq("event_id"), "naive")
-        val all = pm.union(pn)
+        // def, NOT val: ScaleRank's pinned range parts localCheckpoint
+        // EAGERLY at construction, so building the fallback frames
+        // unconditionally would run 2 checkpoint jobs even when the
+        // point-census path answers (measured r12: 2×(map+reduce) jobs,
+        // ~0.4 s, for frames that were never used)
+        def all = pages(withM, Seq("m", "ix", "iy", "event_id"), "morton")
+          .union(pages(pts, Seq("event_id"), "naive"))
+        // r12 POINT-LEVEL DUAL PATH: under the gate, BOTH layouts' page
+        // boxes come from one collected point census (two driver sorts
+        // replace two two-phase ScaleRank rank passes ≈ 8 jobs with 1);
+        // the r11 box-level collect stays as the middle tier, and the
+        // distributed box self-join as the scale path. limit(gate+1)
+        // bounds driver memory without a count job.
+        val gate = 2000000
+        val ptRows = pts.limit(gate + 1).collect()
         // dual-path (r11): the box census is rows/256 — at bench SFs a
         // few thousand boxes — so areas + the O(p²) overlap count run
         // driver-side off ONE collect (the rank checkpoints upstream
         // already pin the heavy work). Above the cap the distributed
         // box self-join below is the scale path.
         val CAP = 8000
-        val boxes = all.limit(CAP + 1).collect()
-        if (boxes.length <= CAP) {
+        val boxesOpt: Option[Array[(String, Long, Long, Long, Long, Long)]] =
+          if (ptRows.length <= gate) {
+            val p = ptRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            // same integer Morton as mortonExpr (gx, gy non-negative)
+            def mort(ix: Long, iy: Long): Long = {
+              val gx = ix / 100; val gy = iy / 100
+              (0 until 9).map(k => ((gx >> k) & 1L) * (1L << (2 * k)) +
+                ((gy >> k) & 1L) * (1L << (2 * k + 1))).sum
+            }
+            def boxesOf(sorted: Array[(Long, Long, Long)], layout: String) =
+              sorted.grouped(pageRows.toInt).zipWithIndex.map { case (ch, pg) =>
+                (layout, pg.toLong,
+                  ch.iterator.map(_._2).min, ch.iterator.map(_._2).max,
+                  ch.iterator.map(_._3).min, ch.iterator.map(_._3).max)
+              }.toArray
+            val ms = p.sortBy { case (id, ix, iy) => (mort(ix, iy), ix, iy, id) }
+            Some(boxesOf(ms, "morton") ++ boxesOf(p.sortBy(_._1), "naive"))
+          } else {
+            val boxes = all.limit(CAP + 1).collect()
+            if (boxes.length <= CAP)
+              Some(boxes.map(r => (r.getAs[String]("layout"),
+                r.getAs[Long]("pg"), r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+                r.getAs[Long]("y0"), r.getAs[Long]("y1"))))
+            else None
+          }
+        if (boxesOpt.isDefined) {
           val sc2 = s
           import sc2.implicits._
-          val by = boxes.map(r => (r.getAs[String]("layout"),
-              r.getAs[Long]("pg"), r.getAs[Long]("x0"), r.getAs[Long]("x1"),
-              r.getAs[Long]("y0"), r.getAs[Long]("y1")))
-            .groupBy(_._1)
+          val by = boxesOpt.get.groupBy(_._1)
           by.toSeq.flatMap { case (layout, bs) =>
             val area = bs.iterator
               .map(b => (b._4 - b._3) * (b._6 - b._5)).sum

@@ -226,7 +226,20 @@ object QueriesCT extends QueryPack {
           .select("pa", "pb")
           .cache()
         val nEdges = e.count() // eager: e1/e2/e3 and the support join all read it
-        if (nEdges <= 2000000L) {
+        // r11-advice gate: the driver loop enumerates oriented a→b→c
+        // paths (wedge-bounded work, not edge-bounded), so a dense census
+        // under the 2M-edge gate must still fall back to the distributed
+        // self-joins — compute the wedge bound from the degree census
+        // before entering the loop (same gate as q185).
+        val driverHalf = if (nEdges <= 2000000L)
+          Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+        else None
+        val driverWedges = driverHalf.map { half =>
+          (half.map(_._1) ++ half.map(_._2))
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+            .valuesIterator.map(d => d * (d - 1) / 2).sum
+        }
+        if (driverWedges.exists(_ <= 100000000L)) {
           // dual-path (the q457/q225 recipe, r11): triangle enumeration,
           // per-edge support, the bucket rollup and the truss summary all
           // run driver-side over the collected repeat-pair census — one
@@ -234,7 +247,7 @@ object QueriesCT extends QueryPack {
           // rollup. Edges are oriented pa<pb by the sorted-basket build,
           // so each triangle a<b<c is found exactly once, as in the
           // e1⋈e2⋈e3 frames below.
-          val half = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val half = driverHalf.get
           val eset = half.toSet
           val byA = half.groupMap(_._1)(_._2)
           val sup = scala.collection.mutable.HashMap

@@ -161,97 +161,87 @@ object QueriesCW extends QueryPack {
         // applies AFTER the tiny aggregate.
         val sc3 = s
         import sc3.implicits._
-        val baskets = t(s, dir, "lineitem")
+        def basketsDf = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
-          .groupBy(col("l_orderkey").as("ok"))
+          .select(col("l_orderkey").as("ok"), col("p_brand"))
+          // ok is near-unique per task, so the map-side partial
+          // collect_set reduces nothing — pre-partitioning by ok moves
+          // the same bytes once and runs the set build at full width
+          // instead of on the single-row-group scan task (the
+          // QueriesC.shingled idiom); the groupBy reuses the exchange.
+          .repartition(col("ok"))
+          .groupBy("ok")
           .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-          .cache()
-        val nOrders = baskets.count() // eager cache AND the census scalar
-        val minsup1 = math.max(nOrders / 100, 2L)
-        val minsup2 = math.max(nOrders / 200, 2L)
-        val freq1 = baskets.select(explode(col("bs")).as("b"))
-          .groupBy("b").agg(count(lit(1)).as("s1"))
-          .where(col("s1") >= minsup1)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         def nk(x: String) = (x != null, if (x == null) "" else x)
-        val f1 = freq1.keys.toSeq.sortBy(nk) // null brand sorts first
-        // distinct-basket weighting (r11), SCALE-ADAPTIVE: the brand
-        // domain is 25 values, so only ~2^|freq1| DISTINCT filtered
-        // baskets exist regardless of order count — above a measured
-        // order-count threshold, dedupe baskets BEFORE enumerating
-        // pairs/triples and weight each enumeration by multiplicity.
-        // support(t) = Σ_orders [t ⊆ basket] = Σ_distinct wt·[t ⊆ basket],
-        // exactly. Measured: sf1 12.3→4.3 s (the triple fan-out drops
-        // from 6M orders to ~10k distinct baskets); at sf0.1 the same
-        // dedup was 1.2 s SLOWER (its two extra exchanges exceed the
-        // small enumeration saved), so below the threshold each order
-        // basket carries wt=1 with no dedup exchange — identical math.
-        val dedup = nOrders >= 1000000L
-        val fbw = {
-          val base = baskets.select(array_intersect(col("bs"),
-            typedLit(f1)).as("fb")) // bs sorted ⇒ intersect stays sorted
-          if (dedup)
-            base.groupBy("fb").agg(count(lit(1)).cast("bigint").as("wt"))
-              .cache()
-          else base.withColumn("wt", lit(1L))
-        }
-        val pairCols = expr(
-          """flatten(transform(fb, (x, i) ->
-             transform(slice(fb, i + 2, size(fb)), y -> struct(x AS ba, y AS bb))))""")
-        val freq2 = fbw.select(col("wt"), pairCols.as("ps"))
-          .select(col("wt"), explode(col("ps")).as("pr"))
-          .groupBy(col("pr.ba").as("ba"), col("pr.bb").as("bb"))
-          .agg(sum("wt").cast("bigint").as("s2"))
-          .where(col("s2") >= minsup2)
-          .select("ba", "bb")
-          .collect().map(r => (r.getString(0), r.getString(1))).toSet
-        // Apriori candidate join on the driver over the ≤300-pair census
-        val cand = (for {
-          (a, b) <- freq2; (a2, c) <- freq2
-          if a2 == a && b < c && freq2((b, c))
-        } yield (a, b, c)).toSet
-        if (cand.isEmpty) {
-          // no candidate triple survives freq2 — nothing to count
-          Seq.empty[(String, String, String, Long, Long)]
+        // r12 UNIFIED SINGLE-JOB PATH: one kind-tagged enumeration pass
+        // over the DISTINCT-basket census feeds a ≤ 1+25+C(25,2)+C(25,3)
+        // support census, and every Apriori decision (nOrders, freq1,
+        // freq2, cand, supports, lift) happens on the driver — 1 job
+        // instead of 4 (count + freq1 + freq2 + triples), no cache.
+        // support(t) is filter-independent (counting pairs/triples
+        // WITHOUT the freq1 pre-intersection is exactly the sum the
+        // oracle computes), and support over distinct baskets weighted
+        // by multiplicity equals support over orders (r11): the brand
+        // domain is 25 values, so ≤ 2^25 distinct baskets exist at ANY
+        // scale and the enumeration fan-out is bounded by the DISTINCT
+        // basket count, not the order count. The r11 two-path split
+        // (wt=1 below 1M orders) existed because the dedup exchange cost
+        // more than it saved in the old 4-job shape; in the single-census
+        // shape the dedup exchange is tiny (≤ |distinct baskets| rows)
+        // and the enumeration shrink wins at every SF (measured r12:
+        // sf0.1 2.66 → 1.22 s).
+          val enumCols = expr("""
+            flatten(array(
+              array(struct(0 AS kind, CAST(NULL AS STRING) AS ta,
+                           CAST(NULL AS STRING) AS tb, CAST(NULL AS STRING) AS tc)),
+              transform(bs, x -> struct(1 AS kind, x AS ta,
+                           CAST(NULL AS STRING) AS tb, CAST(NULL AS STRING) AS tc)),
+              flatten(transform(bs, (x, i) ->
+                transform(slice(bs, i + 2, size(bs)),
+                  y -> struct(2 AS kind, x AS ta, y AS tb,
+                              CAST(NULL AS STRING) AS tc)))),
+              flatten(transform(bs, (x, i) ->
+                flatten(transform(slice(bs, i + 2, size(bs)), (y, j) ->
+                  transform(slice(bs, i + j + 3, size(bs)),
+                    z -> struct(3 AS kind, x AS ta, y AS tb, z AS tc))))))
+            ))""")
+          val census = basketsDf
+            .groupBy("bs").agg(count(lit(1)).cast("bigint").as("wt"))
+            .select(col("wt"), explode(enumCols).as("e"))
+            .groupBy(col("e.kind").as("kind"), col("e.ta").as("ta"),
+              col("e.tb").as("tb"), col("e.tc").as("tc"))
+            .agg(sum("wt").cast("bigint").as("c"))
+            .collect()
+          val nOrders = census.collectFirst {
+            case r if r.getInt(0) == 0 => r.getLong(4) }.getOrElse(0L)
+          val minsup1 = math.max(nOrders / 100, 2L)
+          val minsup2 = math.max(nOrders / 200, 2L)
+          val freq1 = census.iterator
+            .filter(r => r.getInt(0) == 1 && r.getLong(4) >= minsup1)
+            .map(r => r.getString(1) -> r.getLong(4)).toMap
+          val freq2 = census.iterator
+            .filter(r => r.getInt(0) == 2 && r.getLong(4) >= minsup2 &&
+              freq1.contains(r.getString(1)) && freq1.contains(r.getString(2)))
+            .map(r => (r.getString(1), r.getString(2))).toSet
+          val cand = (for {
+            (a, b) <- freq2; (a2, c) <- freq2
+            if a2 == a && b < c && freq2((b, c))
+          } yield (a, b, c)).toSet
+          census.iterator
+            .filter(r => r.getInt(0) == 3 &&
+              cand((r.getString(1), r.getString(2), r.getString(3))))
+            .map { r =>
+              val (ta, tb, tc, sup) =
+                (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+              val lift = 1000L * sup * nOrders / freq1(ta) * nOrders /
+                freq1(tb) / freq1(tc)
+              (ta, tb, tc, sup, lift)
+            }.toSeq
+            .sortBy { case (ta, tb, tc, sup, _) => (-sup, nk(ta), nk(tb), nk(tc)) }
+            .take(15)
             .toDF("ta", "tb", "tc", "support", "lift_milli")
-        } else {
-        // classic Apriori pruning BEFORE the fan-out (r10 verdict #4):
-        // a counted triple must be in `cand`, and every element of a
-        // cand triple is in candItems, so intersecting each basket down
-        // to candItems first shrinks the C(|fb|,3) map-side enumeration
-        // without changing any surviving (ta,tb,tc) count — the
-        // post-aggregate cand filter below stays as the exact gate.
-        val candItems = cand.toSeq.flatMap { case (a, b, c) => Seq(a, b, c) }
-          .distinct.sortBy(nk)
-        val fb3i = fbw.select(array_intersect(col("fb"),
-          typedLit(candItems)).as("fb"), col("wt")) // fb sorted ⇒ stays sorted
-        val fb3 =
-          if (dedup) fb3i.groupBy("fb").agg(sum("wt").cast("bigint").as("wt"))
-          else fb3i
-        val tripleCols = expr(
-          """flatten(transform(fb, (x, i) ->
-             flatten(transform(slice(fb, i + 2, size(fb)), (y, j) ->
-               transform(slice(fb, i + j + 3, size(fb)),
-                 z -> struct(x AS ta, y AS tb, z AS tc))))))""")
-        val sup3 = fb3.select(col("wt"), tripleCols.as("ts"))
-          .select(col("wt"), explode(col("ts")).as("tr"))
-          .groupBy(col("tr.ta").as("ta"), col("tr.tb").as("tb"),
-            col("tr.tc").as("tc"))
-          .agg(sum("wt").cast("bigint").as("support"))
-          .collect()
-          .filter(r => cand((r.getString(0), r.getString(1), r.getString(2))))
-        sup3.toSeq.map { r =>
-          val (ta, tb, tc, sup) =
-            (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
-          val lift = 1000L * sup * nOrders / freq1(ta) * nOrders /
-            freq1(tb) / freq1(tc)
-          (ta, tb, tc, sup, lift)
-        }.sortBy { case (ta, tb, tc, sup, _) => (-sup, nk(ta), nk(tb), nk(tc)) }
-          .take(15)
-          .toDF("ta", "tb", "tc", "support", "lift_milli")
-        }
       },
       Some("""
         WITH baskets AS (

@@ -69,24 +69,31 @@ object QueriesDK extends QueryPack {
           .select(col("e.feature").as("feature"), col("e.f").as("f"), col("y"))
           .groupBy("feature", "f", "y")
           .agg(count(lit(1)).cast("bigint").as("cfy"))
-        cells.cache(); cells.count()
-        val fm = cells.groupBy("feature", "f")
-          .agg(sum("cfy").cast("bigint").as("cf"))
-        val ym = cells.groupBy("feature", "y")
-          .agg(sum("cfy").cast("bigint").as("cy"))
-        val nn = cells.groupBy("feature")
-          .agg(sum("cfy").cast("bigint").as("nn"))
-        cells.join(fm, Seq("feature", "f")).join(ym, Seq("feature", "y"))
-          .join(broadcast(nn), "feature")
-          .selectExpr("feature",
-            "CAST(floor(CAST(cfy AS DOUBLE) * ln((CAST(cfy AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(cf AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6) AS BIGINT) AS term",
-            "nn")
-          .groupBy("feature", "nn")
-          .agg(count(lit(1)).cast("long").as("cells"),
-            sum("term").cast("bigint").as("sum_terms"))
-          .selectExpr("feature", "cells", "sum_terms",
-            "sum_terms DIV nn AS mi_micro")
-          .orderBy("feature")
+          .collect() // bounded BY CONSTRUCTION: (25 brands + ≤6 sizebands
+                     // + 5 priorities + 2 linestatuses) × 2 labels ≤ ~80
+                     // rows at ANY scale — the q463 collect argument.
+        // r12: the marginals (cf, cy, nn) and the MI terms re-aggregate
+        // the same tiny census, so they finish driver-side — one census
+        // job instead of cache + count + 3 marginal aggregations + a
+        // 3-join term pass (~5 jobs). Same IEEE op order as the frames:
+        // (cfy·ln((cfy·nn)/(cf·cy)))·1e6, floor, BIGINT sums, trunc DIV.
+        val sc2 = s
+        import sc2.implicits._
+        val byFeature = cells.map(r => (r.getString(0), r.getString(1),
+          r.getInt(2), r.getLong(3))).groupBy(_._1)
+        byFeature.toSeq.sortBy(_._1).map { case (feature, g) =>
+          val cf = g.groupMapReduce(_._2)(_._4)(_ + _)
+          val cy = g.groupMapReduce(_._3)(_._4)(_ + _)
+          val nn = g.iterator.map(_._4).sum
+          var sumTerms = 0L
+          g.foreach { case (_, f, y, cfy) =>
+            val term = math.floor(cfy.toDouble *
+              math.log((cfy.toDouble * nn.toDouble) /
+                (cf(f).toDouble * cy(y).toDouble)) * 1e6).toLong
+            sumTerms += term
+          }
+          (feature, g.length.toLong, sumTerms, sumTerms / nn)
+        }.toDF("feature", "cells", "sum_terms", "mi_micro")
       },
       Some {
         def miSql(f: String): String = s"""

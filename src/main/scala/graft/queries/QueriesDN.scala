@@ -51,36 +51,56 @@ object QueriesDN extends QueryPack {
     // and both error sums finish driver-side in BigInt over the ≤|brand|
     // collected rows (r7 verdict #2/#4: was an eager count + 5 chained
     // agg/join jobs; r10 verdict #1 folded the v0-init job too — v is a
-    // pure function of brand computed inline, so ONE job total, same
-    // shape you'd run at 100 TB).
+    // pure function of brand computed inline; r12 folded the user solve
+    // into a per-cust basket aggregation, deleting the users⋈ratings
+    // re-shuffle and the cache — ONE job, 3 exchanges, same shape you'd
+    // run at 100 TB).
     QDef("q463_als_rank1",
       (s, dir) => {
-        val ratings = t(s, dir, "lineitem")
+        val sc = s
+        import sc.implicits._
+        // r12: the whole per-customer side — ratings r(cust, brand), the
+        // hash-init factor v(brand), and the closed-form user solve — is
+        // a reduction over that customer's ≤|brand| ratings, so fold it
+        // ALL into ONE cust-keyed basket aggregation (collect_list +
+        // array lambdas): the old plan's (cust, brand) pre-aggregation
+        // and the users⋈ratings join-back re-shuffled the ratings table
+        // twice and forced a cache with two racing consumers. Exact same
+        // integer math: r = per-brand occurrence count, v = 1000 +
+        // md5(brand) % 500, u = (Σ r·v · 1e6) DIV (Σ v²) — BIGINT sums,
+        // order-free.
+        val vSql = s"CAST(1000 AS BIGINT) + pmod(${
+          PortableHash.md5LongSparkSql("b", "als~")}, CAST(500 AS BIGINT))"
+        val perCust = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
           .join(t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-          .agg(count(lit(1)).cast("long").as("r"))
-          // v0 is a pure function of the brand key — no init job, no
-          // distinct+collect+broadcast round-trip (r10 verdict #1): the
-          // factor rides along as a column and the driver reads it back
-          // off the ≤|brand| sufficient-statistics rows
-          .withColumn("v", lit(1000L) +
-            pmod(PortableHash.md5Long(col("brand"), salt = "als~"), lit(500L)))
-          .cache()
-        val sc = s
-        import sc.implicits._
-        val users = ratings
-          .groupBy("cust").agg(
-            sum(col("r") * col("v")).cast("bigint").as("num"),
-            sum(col("v") * col("v")).cast("bigint").as("den"))
-          .selectExpr("cust", "num * 1000000 DIV den AS u")
+          .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          // collect_list ships every row regardless, so pre-partitioning
+          // by cust costs no extra bytes and lifts the list build + the
+          // per-cust lambda work off the single-row-group scan task onto
+          // the full width (the QueriesC.shingled idiom)
+          .repartition(col("cust"))
+          .groupBy("cust")
+          .agg(collect_list(col("brand")).as("bl"))
+          .withColumn("arr", expr(s"""
+            transform(array_distinct(bl), b -> struct(
+              b AS brand,
+              CAST(size(filter(bl, x -> x = b)) AS BIGINT) AS r,
+              $vSql AS v))"""))
+          .withColumn("u", expr(
+            """aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x.r * x.v)
+               * 1000000 DIV
+               aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x.v * x.v)"""))
         // THE job: the single sufficient-statistics pass (decimal sums —
-        // Σu² crosses int64 at 100×); also materializes the ratings cache
-        val pb = ratings.join(users, "cust")
+        // Σu² crosses int64 at 100×)
+        val pb = perCust
+          .select(col("u"), explode(col("arr")).as("x"))
+          .select(col("x.brand").as("brand"), col("x.r").as("r"),
+            col("x.v").as("v"), col("u"))
           .groupBy("brand").agg(
             count(lit(1)).cast("long").as("n_raters"),
             max(col("v")).as("v"), // constant per brand

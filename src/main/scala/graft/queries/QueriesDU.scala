@@ -52,6 +52,38 @@ object QueriesDU extends QueryPack {
             col("o_orderkey") === col("l_orderkey"))
           .selectExpr("o_orderkey",
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x", "nl AS y")
+        // r12 DUAL PATH: the marginal cut points AND the 3×3 grid counts
+        // all derive from the JOINT (x, y) value census — under the gate
+        // ONE census job replaces cache + count + two cut subtrees + the
+        // base×grid scan (~6 jobs). limit(gate+1) bounds driver memory
+        // without a count job; past the gate, the frames below.
+        val gate = 2000000
+        val jointRows = base.groupBy("x", "y")
+          .agg(count(lit(1)).cast("bigint").as("c"))
+          .limit(gate + 1).collect()
+        if (jointRows.length <= gate && jointRows.nonEmpty) {
+          val sc2 = s
+          import sc2.implicits._
+          val joint = jointRows.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val n = joint.iterator.map(_._3).sum
+          def cut(census: Seq[(Long, Long)], qbp: Long): Long = {
+            var cum = 0L
+            census.find { case (_, c) => cum += c; cum * 10000 >= n * qbp }
+              .map(_._1).getOrElse(0L)
+          }
+          val xc = joint.groupMapReduce(_._1)(_._3)(_ + _).toSeq.sortBy(_._1)
+          val yc = joint.groupMapReduce(_._2)(_._3)(_ + _).toSeq.sortBy(_._1)
+          val out = for (ubp <- Seq(2500L, 5000L, 7500L);
+                         vbp <- Seq(2500L, 5000L, 7500L)) yield {
+            val qx = cut(xc, ubp); val qy = cut(yc, vbp)
+            val c = joint.iterator
+              .collect { case (x, y, cc) if x <= qx && y <= qy => cc }.sum
+            (ubp, vbp, c, c * 10000 / n, (ubp * vbp) / 10000,
+              c * 10000 / n - (ubp * vbp) / 10000)
+          }
+          out.toDF("ubp", "vbp", "c", "c_bp", "indep_bp", "dep_bp")
+        } else {
         base.cache(); base.count()
         // ONE distinct-value cumsum per column; all three cut points read
         // it. The cumsum runs as a plain window over the AGGREGATED value
@@ -99,6 +131,7 @@ object QueriesDU extends QueryPack {
             "(ubp * vbp) DIV 10000 AS indep_bp",
             "c * 10000 DIV n - (ubp * vbp) DIV 10000 AS dep_bp")
           .orderBy("ubp", "vbp")
+        }
       },
       Some("""
         WITH base AS MATERIALIZED (

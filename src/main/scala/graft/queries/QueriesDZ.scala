@@ -261,6 +261,48 @@ object QueriesDZ extends QueryPack {
       (s, dir) => {
         val v = t(s, dir, "orders")
           .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v")
+        // r12 DUAL PATH: n/vmin/vmax, the 64-bin sketch, its cumulative
+        // walk, the 4 interpolated estimates AND the exact quantiles all
+        // derive from the distinct-value census — under the gate ONE
+        // census job replaces the ext agg + binned agg + ScaleRank
+        // running-sum chain (~6 jobs). limit(gate+1) bounds driver
+        // memory without a count job; past the gate, frames fallback.
+        val gate = 2000000
+        val censusRows = v.groupBy("v").agg(count(lit(1)).as("c"))
+          .limit(gate + 1).collect()
+        if (censusRows.length <= gate && censusRows.nonEmpty) {
+          val sc2 = s
+          import sc2.implicits._
+          val vc = censusRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val n = vc.iterator.map(_._2).sum
+          val vmin = vc.head._1; val vmax = vc.last._1
+          val span = vmax - vmin + 1
+          // 64-bin sketch counts + cumulative, from the value census
+          val binCnt = new Array[Long](64)
+          vc.foreach { case (x, c) =>
+            binCnt(math.min(63L, (x - vmin) * 64 / span).toInt) += c }
+          val binCum = binCnt.scanLeft(0L)(_ + _).tail
+          // exact side: running sum over the sorted value domain
+          val qs = Seq(25L, 50L, 75L, 90L)
+          val out = qs.map { q =>
+            val r = (n * q + 99) / 100
+            val b = binCum.indexWhere(_ >= r)
+            val lo = vmin + span * b / 64
+            val hi = vmin + span * (b + 1) / 64
+            val cumB = binCum(b); val cntB = binCnt(b)
+            val est = lo + (hi - lo) * (r - (cumB - cntB) - 1) / cntB
+            var cum = 0L
+            val exact = vc.find { case (_, c) => cum += c; cum * 100 >= n * q }
+              .map(_._1).get
+            (q, n, est, exact, (est - exact).abs * 10000 / exact)
+          }
+          out.toDF("q_pct", "n", "est", "exact", "err_bp")
+        } else if (censusRows.isEmpty) {
+          val sc2 = s
+          import sc2.implicits._
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("q_pct", "n", "est", "exact", "err_bp")
+        } else {
         val ext = v.agg(count(lit(1)).as("n"), min("v").as("vmin"),
           max("v").as("vmax"))
         val binned = v.crossJoin(broadcast(ext))
@@ -300,6 +342,7 @@ object QueriesDZ extends QueryPack {
           .selectExpr("CAST(q_pct AS BIGINT) AS q_pct", "n", "est", "exact",
             "abs(est - exact) * 10000 DIV exact AS err_bp")
           .orderBy("q_pct")
+        }
       },
       Some("""
         WITH v AS (

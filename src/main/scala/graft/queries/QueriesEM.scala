@@ -247,6 +247,57 @@ object QueriesEM extends QueryPack {
         // of the fact table into one task at 100×)
         val daily = rows.groupBy("brand", "day").agg(
           count(lit(1)).as("dn"), sum("y").cast("long").as("dx"))
+        // r12 DUAL PATH: every output is a sum over (brand, day) groups —
+        // rows in one group share enc_ppm, so s_pos = Σ dx·enc, n_pos =
+        // Σ dx, s_neg = Σ (dn−dx)·enc, s_gap = Σ dn·|enc−full| — and the
+        // prior/full encodings are sums of the same census. Under the
+        // gate ONE census job replaces 4 separate passes over the
+        // lineitem⋈part join (prior, window side, enc join side, fullEnc).
+        // limit(gate+1) bounds driver memory without a count job.
+        val gate = 2000000
+        val censusRows = daily.limit(gate + 1).collect()
+        if (censusRows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          val d = censusRows.map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))) // brand, day, dn, dx
+          val nTotal = d.iterator.map(_._3).sum
+          val xTotal = d.iterator.map(_._4).sum
+          if (nTotal == 0) {
+            Seq.empty[(Long, Long, Long, Long, Long)]
+              .toDF("n_rows", "mean_enc_pos_ppm", "mean_enc_neg_ppm",
+                "separation_ppm", "mean_abs_gap_ppm")
+          } else {
+            // frames compute prior as Divide(BIGINT, BIGINT) → DOUBLE →
+            // cast long; replicate that exact IEEE path
+            val prior = ((xTotal * 1000000L).toDouble / nTotal.toDouble).toLong
+            val byBrand = d.groupBy(_._1)
+            var (sPos, nPos, sNeg, nNeg, sGap) = (0L, 0L, 0L, 0L, 0L)
+            byBrand.foreach { case (_, g) =>
+              val gs = g.sortBy(_._2)
+              val bn = gs.iterator.map(_._3).sum
+              val bx = gs.iterator.map(_._4).sum
+              val full = (bx * 1000000L + 10 * prior) / (bn + 10)
+              var cumx = 0L; var cumn = 0L
+              gs.foreach { case (_, _, dn, dx) =>
+                val enc = (cumx * 1000000L + 10 * prior) / (cumn + 10)
+                cumx += dx; cumn += dn
+                sPos += dx * enc; nPos += dx
+                sNeg += (dn - dx) * enc; nNeg += dn - dx
+                sGap += dn * (enc - full).abs
+              }
+            }
+            if (nPos > 0 && nNeg > 0)
+              Seq((nTotal, sPos / nPos, sNeg / nNeg,
+                sPos / nPos - sNeg / nNeg, sGap / nTotal))
+                .toDF("n_rows", "mean_enc_pos_ppm", "mean_enc_neg_ppm",
+                  "separation_ppm", "mean_abs_gap_ppm")
+            else
+              Seq.empty[(Long, Long, Long, Long, Long)]
+                .toDF("n_rows", "mean_enc_pos_ppm", "mean_enc_neg_ppm",
+                  "separation_ppm", "mean_abs_gap_ppm")
+          }
+        } else {
         val wb = Window.partitionBy("brand").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, -1)
         val dayEnc = daily.crossJoin(broadcast(prior))
@@ -277,6 +328,7 @@ object QueriesEM extends QueryPack {
             "s_neg DIV n_neg AS mean_enc_neg_ppm",
             "s_pos DIV n_pos - s_neg DIV n_neg AS separation_ppm",
             "s_gap DIV n_rows AS mean_abs_gap_ppm")
+        }
       },
       Some("""
         WITH rows_ AS (

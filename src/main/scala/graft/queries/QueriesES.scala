@@ -191,6 +191,43 @@ object QueriesES extends QueryPack {
           .where(expr("e >= s"))
         // boundary sweep: +1 at s, −1 at e+1 (closed intervals in days);
         // depth>0 segments are covered; new run when depth rises from 0
+        // r12 DUAL PATH: the sweep is per-customer sequential work over
+        // the |orders|-bounded interval census — under the gate it runs
+        // driver-side after ONE census job (the iv aggregation), deleting
+        // the boundary re-aggregation + 2 window passes + 2 rollup
+        // exchanges. limit(gate+1) bounds driver memory without a count
+        // job; past the gate, the frames sweep below.
+        val gate = 2000000
+        val ivRows = iv.limit(gate + 1).collect()
+        if (ivRows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          val buckets = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          ivRows.iterator.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSeq.groupBy(_._1).foreach { case (_, g) =>
+              val bnd = scala.collection.mutable.HashMap.empty[Long, Long]
+              g.foreach { case (_, s0, e0) =>
+                bnd(s0) = bnd.getOrElse(s0, 0L) + 1L
+                bnd(e0 + 1) = bnd.getOrElse(e0 + 1, 0L) - 1L
+              }
+              val xs = bnd.toArray.sortBy(_._1)
+              var depth = 0L; var cov = 0L; var runs0 = 0L
+              var i = 0
+              while (i < xs.length) {
+                val (x, d) = xs(i)
+                depth += d
+                if (depth > 0 && i + 1 < xs.length) cov += xs(i + 1)._1 - x
+                if (depth > 0 && depth - d == 0) runs0 += 1
+                i += 1
+              }
+              val bk = cov / 100
+              val (c, tr) = buckets.getOrElse(bk, (0L, 0L))
+              buckets(bk) = (c + 1, tr + runs0)
+            }
+          buckets.toSeq.map { case (bk, (c, tr)) => (bk, c, tr) }
+            .sortBy(_._1)
+            .toDF("cov_bucket", "n_customers", "total_runs")
+        } else {
         val bnd = iv.selectExpr("ck", "s AS x", "1L AS d")
           .unionByName(iv.selectExpr("ck", "e + 1 AS x", "-1L AS d"))
           .groupBy("ck", "x").agg(sum("d").cast("long").as("d"))
@@ -214,6 +251,7 @@ object QueriesES extends QueryPack {
           .agg(count(lit(1)).as("n_customers"),
             sum("merged_runs").cast("long").as("total_runs"))
           .orderBy("cov_bucket")
+        }
       },
       Some("""
         WITH iv AS (

@@ -123,7 +123,11 @@ object QueriesEU extends QueryPack {
         // One Spark job builds the census; the old per-round SQL loop
         // (≈13 jobs + 2 checkpoint pins per round) stays as the scale
         // fallback above the gate.
-        val censusRows = s.sql(censusSql + " SELECT word, wcnt FROM census")
+        // limit(gate+1) bounds what the driver ever holds (r11 advice:
+        // the old collect-then-check already materialized an oversized
+        // census before the gate could reject it)
+        val censusRows = s.sql(
+            censusSql + " SELECT word, wcnt FROM census LIMIT 2000001")
           .collect()
         if (censusRows.length <= 2000000) {
           import org.apache.spark.unsafe.types.UTF8String

@@ -113,12 +113,36 @@ object QueriesEV extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 100 DIV 100 AS b100",
             "unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000 DIV 30 AS d30")
           .groupBy("b100", "d30").agg(count(lit(1)).as("c"))
-        fine.cache(); fine.count()
-        val nodes = Seq((100L, 1L, 30L, 1L), (100L, 1L, 90L, 3L),
+        val nodeDefs = Seq((100L, 1L, 30L, 1L), (100L, 1L, 90L, 3L),
           (100L, 1L, 360L, 12L), (1000L, 10L, 30L, 1L), (1000L, 10L, 90L, 3L),
           (1000L, 10L, 360L, 12L), (10000L, 100L, 30L, 1L),
           (10000L, 100L, 90L, 3L), (10000L, 100L, 360L, 12L))
-          .toDF("w", "wf", "g", "gf")
+        // r12 DUAL PATH: the 9 lattice nodes, their suppression stats and
+        // the chosen node all re-aggregate the finest census — under the
+        // gate ONE census job + driver rollups replace cache + count +
+        // the crossJoin re-aggregation + the chosen broadcast subtree
+        // (~4 jobs, stats computed twice). limit(gate+1) bounds driver
+        // memory without a count job.
+        val gate = 2000000
+        val censusRows = fine.limit(gate + 1).collect()
+        if (censusRows.length <= gate && censusRows.nonEmpty) {
+          val rows = censusRows.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2))) // b100, d30, c
+          val stats = nodeDefs.map { case (w, wf, g, gf) =>
+            val groups = rows.groupMapReduce(
+              r => (Math.floorDiv(r._1, wf), Math.floorDiv(r._2, gf)))(_._3)(_ + _)
+            val total = groups.valuesIterator.sum
+            val supp = groups.valuesIterator.filter(_ < 5).sum
+            (w, g, groups.size.toLong, groups.valuesIterator.min,
+              supp * 10000 / total)
+          }.sortBy(s0 => (s0._1, s0._2))
+          val chosen = stats.find(_._5 <= 100).map(s0 => (s0._1, s0._2))
+          stats.map { case (w, g, ng, mn, sbp) =>
+            (w, g, ng, mn, sbp, if (chosen.contains((w, g))) 1L else 0L)
+          }.toDF("w", "g", "n_groups", "min_size", "suppress_bp", "chosen")
+        } else {
+        fine.cache(); fine.count()
+        val nodes = nodeDefs.toDF("w", "wf", "g", "gf")
         val stats = fine.crossJoin(broadcast(nodes))
           .groupBy(col("w"), col("g"), expr("b100 DIV wf").as("pb"),
             expr("d30 DIV gf").as("db"))
@@ -138,6 +162,7 @@ object QueriesEV extends QueryPack {
           .selectExpr("w", "g", "n_groups", "min_size", "suppress_bp",
             "CASE WHEN w = cw AND g = cg THEN 1L ELSE 0L END AS chosen")
           .orderBy("w", "g")
+        }
       },
       Some("""
         WITH fine AS (

@@ -47,6 +47,50 @@ object QueriesEW extends QueryPack {
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 100 AS v")
         // local sketch per nation: census → 10 equi-depth boundaries
         val census = vals.groupBy("nk", "v").agg(count(lit(1)).as("c"))
+        // r12 DUAL PATH: the per-nation sketches, the merge, n, est AND
+        // exact all derive from the (nk, v) census (|nations| × |distinct
+        // prices|-bounded) — under the gate ONE census job replaces the
+        // cache + count + 3 window passes + 4 crossJoin subtrees (~7
+        // jobs). limit(gate+1) bounds driver memory without a count job.
+        val gate = 2000000
+        val censusRows = census.limit(gate + 1).collect()
+        if (censusRows.length <= gate) {
+          val rows = censusRows.map(r => (r.getAs[Number](0).longValue,
+            r.getLong(1), r.getLong(2))) // nk (int in parquet), v, c
+          val n = rows.iterator.map(_._3).sum
+          // per-nk equi-depth boundaries and masses (exact lag semantics)
+          val sketch = rows.groupBy(_._1).iterator.flatMap { case (_, g) =>
+            val gs = g.sortBy(_._2)
+            val nn = gs.iterator.map(_._3).sum
+            val cums = gs.scanLeft(0L)((acc, r) => acc + r._3).tail
+            var prevCum = 0L
+            (1L to 10L).flatMap { k =>
+              val i = cums.indexWhere(cum => cum * 10 >= k * nn)
+              if (i < 0) None else {
+                val mass = cums(i) - prevCum
+                prevCum = cums(i)
+                Some((gs(i)._2, mass)) // (boundary, mass)
+              }
+            }
+          }.toSeq
+          val merged = sketch.groupMapReduce(_._1)(_._2)(_ + _)
+            .toSeq.sortBy(_._1)
+          val mcum = merged.scanLeft(0L)((acc, bm) => acc + bm._2).tail
+          // exact global census: sum per v across nations
+          val gc = rows.groupMapReduce(_._2)(_._3)(_ + _).toSeq.sortBy(_._1)
+          val gcum = gc.scanLeft(0L)((acc, vc) => acc + vc._2).tail
+          val out = Seq(50L, 90L, 99L).flatMap { p =>
+            val ei = mcum.indexWhere(cum => cum * 100 >= p * n)
+            val xi = gcum.indexWhere(cum => cum * 100 >= p * n)
+            if (ei < 0 || xi < 0) None else {
+              val est = merged(ei)._1; val exact = gc(xi)._1
+              if (exact > 0)
+                Some((p, est, exact, (est - exact).abs * 10000 / exact))
+              else None
+            }
+          }
+          out.toDF("p", "est", "exact", "err_bp")
+        } else {
         census.cache(); census.count()
         val wn = Window.partitionBy("nk").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -85,6 +129,7 @@ object QueriesEW extends QueryPack {
           .selectExpr("p", "est", "exact",
             "abs(est - exact) * 10000 DIV exact AS err_bp")
           .orderBy("p")
+        }
       },
       Some("""
         WITH vals AS (

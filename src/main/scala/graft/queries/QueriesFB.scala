@@ -50,8 +50,13 @@ object QueriesFB extends QueryPack {
         // the 5 predicates for `act`). When the census fits the driver
         // gate, one aggregation job replaces the cache + 4 downstream
         // jobs; the frames below stay as the scale fallback.
+        // limit(gate+1) bounds what the driver ever holds (r11 advice:
+        // the old collect-then-check already materialized an oversized
+        // census before the gate could reject it); past the gate the
+        // truncated rows are discarded and the frames fallback runs.
         val censusRows = vals.groupBy("v")
           .agg(count(lit(1)).cast("long").as("c"))
+          .limit(2000001)
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         if (censusRows.length <= 2000000) {
           val sc2 = s

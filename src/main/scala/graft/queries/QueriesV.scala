@@ -72,6 +72,12 @@ object QueriesV extends QueryPack {
             (col("r_regionkey") * 72 - 144).cast("double").as("cx"),
             lit(0.0).as("cy"))
         val pts = t(s, dir, "events")
+          // r12: pre-partition by the downstream group key so the 5-center
+          // haversine + the per-event argmin run at full width instead of
+          // on the single-row-group scan task, AND the groupBy(event_id)
+          // reuses this exchange (no second shuffle) — same exchange
+          // count, 32× the parallelism on the trig.
+          .repartition(col("event_id"))
           .selectExpr("event_id",
             "((user_id * 47 + event_id * 13) % 36000) / 100.0 - 180 + 0.005 AS lng",
             "((user_id * 31 + event_id * 7) % 17000) / 100.0 - 85 + 0.005 AS lat")

@@ -6,6 +6,14 @@ import graft.{GraftSession, SparkEntry}
   * <outDir>/<query>_<tag>.txt (the r11 optimization-round evidence files;
   * the judge reads these instead of running Spark). Usage:
   *   runMain graft.tools.DumpPlans <outDir> <tag> <query> [query...]
+  *
+  * CAVEAT (r11 advice): for DUAL-PATH queries the census Spark jobs run
+  * during DataFrame CONSTRUCTION (collect in the query builder), so the
+  * dumped plan is only the residual LocalTableScan of the precomputed
+  * result — it does NOT show the census job's plan. Plan files for such
+  * queries are labelled by this caveat in OPTIMIZATION_r12.md; the real
+  * work is described there (job/stage timings from ProbeJobs) and in the
+  * in-code comments.
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
