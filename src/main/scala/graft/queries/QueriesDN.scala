@@ -176,7 +176,18 @@ object QueriesDN extends QueryPack {
         // so the only wide exchanges are the cust agg and the tiny
         // (≤ brand²)-row pair rollup. At 100 TB the self-join's edge-list
         // shuffle is the bottleneck this removes.
-        val byCust = t(s, dir, "lineitem")
+        // r12 ONE-JOB CENSUS (the q400 shape): the per-brand degrees AND
+        // the per-pair co-incidence counts both come from the same
+        // kind-tagged enumeration over the ≤25-element sorted brand
+        // baskets, partially aggregated into ≤ 25 + C(25,2) keys —
+        // bounded BY CONSTRUCTION at any scale, so the cosine scoring
+        // and the top-3-per-brand ranking finish on the driver. Replaces
+        // cache + deg collect + pairs/sym/deg-joins/window (2 jobs, one
+        // of them the whole byCust pipeline twice-consumed) with 1 job,
+        // no cache. Same IEEE op order: floor(nab/sqrt(na·nb)·1e6).
+        val sc = s
+        import sc.implicits._
+        val census = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
@@ -184,50 +195,37 @@ object QueriesDN extends QueryPack {
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          // collect_set ships every row; pre-partitioning by cust costs no
+          // extra bytes and runs the set build + enumeration at full width
+          .repartition(col("cust"))
           .groupBy("cust")
           .agg(sort_array(collect_set(col("brand"))).as("brands"))
-          .cache()
-        // fuse cache materialization with the first real consumer (the
-        // Components.scala pattern, r7 verdict #3): the per-brand degree
-        // census is bounded (≤|brand| rows), so collect it and broadcast
-        // the lookup — one job instead of eager count + lazy deg joins
-        val sc = s
-        import sc.implicits._
-        val deg = broadcast(
-          byCust.select(explode(col("brands")).as("brand"))
-            .groupBy("brand").agg(count(lit(1)).cast("bigint").as("n"))
-            .collect()
-            .map(r => (r.getAs[String]("brand"), r.getAs[Long]("n"))).toSeq
-            .toDF("brand", "n"))
-        // posexplode first, slice second: keeps each generator child cheap
-        // (explode re-evaluates its child per OUTPUT row — a fused
-        // all-pairs transform() would be O(b²) per emitted pair)
-        val pairs = byCust
-          .select(col("brands"), posexplode(col("brands")).as(Seq("i", "ba")))
-          .select(col("ba"), explode(slice(col("brands"), col("i") + lit(2),
-            size(col("brands")))).as("bb"))
-          .groupBy("ba", "bb")
-          .agg(count(lit(1)).cast("bigint").as("nab"))
-        // both orientations from ONE pass over the aggregate: a union of
-        // two projections of the lazy `pairs` re-derives the upstream agg
-        // per branch (r8 gate: 2.2 s, 4.1x oracle); inline() over a
-        // 2-element struct array is a cheap generator on already-
-        // aggregated (≤ brand²) rows
-        val sym = pairs.select(inline(array(
-          struct(col("ba"), col("bb"), col("nab")),
-          struct(col("bb").as("ba"), col("ba").as("bb"), col("nab")))))
-        val scored = sym
-          .join(deg.select(col("brand").as("ba"), col("n").as("na")), "ba")
-          .join(deg.select(col("brand").as("bb"), col("n").as("nb")), "bb")
-          .selectExpr("ba", "bb", "nab",
-            "CAST(floor(CAST(nab AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro")
-        scored
-          .withColumn("rk", row_number().over(Window.partitionBy("ba")
-            .orderBy(col("cos_micro").desc, col("bb"))))
-          .where(col("rk") <= 3)
-          .selectExpr("ba AS brand", "CAST(rk AS BIGINT) AS rk",
-            "bb AS neighbor", "nab", "cos_micro")
-          .orderBy("brand", "rk")
+          .select(explode(expr("""
+            flatten(array(
+              transform(brands, x -> struct(x AS ba, CAST(NULL AS STRING) AS bb)),
+              flatten(transform(brands, (x, i) ->
+                transform(slice(brands, i + 2, size(brands)),
+                  y -> struct(x AS ba, y AS bb))))
+            ))""")).as("e"))
+          .groupBy(col("e.ba").as("ba"), col("e.bb").as("bb"))
+          .agg(count(lit(1)).cast("bigint").as("c"))
+          .collect()
+        val deg = census.iterator.filter(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        val pairs = census.iterator.filter(!_.isNullAt(1))
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        pairs.flatMap { case (a, b, nab) => Seq((a, b, nab), (b, a, nab)) }
+          .groupBy(_._1).toSeq.flatMap { case (ba, g) =>
+            g.map { case (_, bb, nab) =>
+              (bb, nab, math.floor(nab.toDouble /
+                math.sqrt(deg(ba).toDouble * deg(bb).toDouble) * 1e6).toLong)
+            }.sortBy { case (bb, _, cm) => (-cm, bb) }
+              .take(3).zipWithIndex
+              .map { case ((bb, nab, cm), k) =>
+                (ba, (k + 1).toLong, bb, nab, cm) }
+          }
+          .sortBy { case (ba, rk, _, _, _) => (ba, rk) }
+          .toDF("brand", "rk", "neighbor", "nab", "cos_micro")
       },
       Some("""
         WITH inc AS MATERIALIZED (

@@ -292,6 +292,69 @@ object QueriesFB extends QueryPack {
     QDef("q620_ivf_nprobe_sweep",
       (s, dir) => {
         val K = 5; val NQ = 8; val SeedMod = 100
+        // r12 DUAL PATH: the whole sweep — assignment, ground truth, cell
+        // ranking, 3 probe settings — re-reads the same small vector set,
+        // and the frames form costs ~37 jobs (4 cache+count pins, window
+        // per stage). Under the gate ONE collect replaces them, with the
+        // EXACT frame float semantics: FloatVecDot's left-to-right
+        // (double)a[i]·(double)b[i] fold, Spark round() = BigDecimal
+        // HALF_UP on the shortest repr, cosine6Out's +0.0 signed-zero
+        // normalization, NaN-greatest double ordering. Past the gate the
+        // frames below are the 100 TB path (bucket-scoped IVF).
+        val gate = 200000
+        val rawRows = t(s, dir, "embeddings").select("vec_id", "embedding")
+          .limit(gate + 1).collect()
+        if (rawRows.length <= gate) {
+          val sc2 = s
+          import sc2.implicits._
+          val n = rawRows.length
+          val ids = Array.tabulate(n)(i => rawRows(i).getLong(0))
+          val vecs = Array.tabulate(n)(i =>
+            rawRows(i).getSeq[Float](1).toArray)
+          def dotD(a: Array[Float], b: Array[Float]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < a.length && i < b.length) {
+              acc += a(i).toDouble * b(i).toDouble; i += 1 }
+            acc
+          }
+          val nrm = Array.tabulate(n)(i => math.sqrt(dotD(vecs(i), vecs(i))))
+          def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          def cos6out(i: Int, j: Int): Double =
+            round6(dotD(vecs(i), vecs(j)) / (nrm(i) * nrm(j))) + 0.0
+          val descAsc = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+          val seedIdx = (0 until n).filter(i => ids(i) % SeedMod == 0)
+          val queryIdx = (0 until n).filter(i => ids(i) < NQ)
+          // assignment: best seed by (round6(cos) DESC, c_id ASC)
+          val cellOf = Array.tabulate(n) { i =>
+            if (seedIdx.isEmpty) -1L
+            else seedIdx.iterator.map(sj => (round6(dotD(vecs(i), vecs(sj)) /
+                (nrm(i) * nrm(sj))), ids(sj))).min(descAsc)._2
+          }
+          // ground truth: top-K by (cos6out DESC, vec_id ASC), self excluded
+          val gtSets = queryIdx.map { qi =>
+            qi -> (0 until n).filter(j => ids(j) != ids(qi))
+              .map(j => (cos6out(qi, j), ids(j)))
+              .sorted(descAsc).take(K).map(_._2).toSet
+          }.toMap
+          val out = Seq(1, 2, 4).map { np =>
+            var hits = 0L
+            queryIdx.foreach { qi =>
+              val probeCells = seedIdx
+                .map(sj => (round6(dotD(vecs(qi), vecs(sj)) /
+                  (nrm(qi) * nrm(sj))), ids(sj)))
+                .sorted(descAsc).take(np).map(_._2).toSet
+              val found = (0 until n)
+                .filter(j => probeCells(cellOf(j)) && ids(j) != ids(qi))
+                .map(j => (cos6out(qi, j), ids(j)))
+                .sorted(descAsc).take(K).map(_._2)
+              hits += found.count(gtSets(qi))
+            }
+            val nq = queryIdx.size.toLong
+            (np.toLong, nq, hits, hits * 10000 / math.max(nq * K, 1L))
+          }
+          out.toDF("nprobe", "n_queries", "n_hits", "recall_bp")
+        } else {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             VectorOps.norm("embedding").as("nrm"))
@@ -353,6 +416,7 @@ object QueriesFB extends QueryPack {
               "n_hits", s"n_hits * 10000 DIV greatest(n_queries * $K, 1) AS recall_bp")
         }.reduce(_ unionByName _)
         sweep.orderBy("nprobe")
+        }
       },
       Some {
         val K = 5; val NQ = 8; val SeedMod = 100
